@@ -1,0 +1,123 @@
+"""Device-mesh utilities and sharded training/planning steps.
+
+The reference's entire parallelism surface is process pools + model files on
+disk (SURVEY §2.8; reference: trainer/evaluation.py:196-290,
+scripts/experiments.py:105-106). The TPU-native equivalent is a single SPMD
+program over a ``jax.sharding.Mesh``:
+
+* ``dp`` axis — env/replay batch parallelism (actor-learner collection and
+  Q-update minibatches sharded across chips; gradients psum-reduced by XLA)
+* ``tp`` axis — wide-layer tensor parallelism for the Q-network matmuls
+* tree batches for planners shard over ``dp`` as well (4096 parallel trees)
+
+Weights stay resident in HBM; there is no file-based parameter channel.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axes: Sequence[str] = ("dp", "tp"),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Build a mesh over available devices. Default: all devices on ``dp``,
+    one ``tp`` column (shape inferred as (n, 1) for two axes)."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = np.asarray(devices[:n])
+    if shape is None:
+        shape = (n,) + (1,) * (len(axes) - 1)
+    return Mesh(devices.reshape(shape), axes)
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "dp"):
+    """Place a pytree batch with its leading axis sharded over ``axis``."""
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, batch)
+
+
+def mlp_param_spec(params, tp_axis: str = "tp"):
+    """Tensor-parallel sharding for MLP pytrees: shard hidden (output) dim of
+    kernels and biases over ``tp``; scalars/odd shapes replicated."""
+    def spec(path, x):
+        name = "/".join(str(p.key) if hasattr(p, "key") else str(p) for p in path)
+        if x.ndim == 2 and "kernel" in name:
+            return P(None, tp_axis)
+        if x.ndim == 1 and "bias" in name:
+            return P(tp_axis)
+        return P()
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def make_sharded_train_step(mesh: Mesh, model, optimizer, gamma: float,
+                            double: bool = True, tp: bool = True):
+    """DQN train step sharded over the mesh: batch over ``dp``, params over
+    ``tp`` (or replicated). XLA inserts the gradient psum across dp and the
+    activation collectives across tp — no hand-written NCCL analog.
+
+    Replaces the reference's worker-pool + model-file parameter channel
+    (evaluation.py:196-290) with one SPMD program.
+    """
+
+    def loss_fn(params, target_params, batch):
+        q = model.apply(params, batch.state)
+        q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=1)[:, 0]
+        if double:
+            best = jnp.argmax(model.apply(params, batch.next_state), axis=1)
+            q_next = model.apply(target_params, batch.next_state)
+            best_values = jnp.take_along_axis(q_next, best[:, None], axis=1)[:, 0]
+        else:
+            best_values = jnp.max(model.apply(target_params, batch.next_state), axis=1)
+        target = batch.reward + gamma * jnp.where(batch.terminal, 0.0, best_values)
+        return jnp.mean((q_sa - jax.lax.stop_gradient(target)) ** 2)
+
+    def train_step(params, target_params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, target_params, batch)
+        grads = jax.tree.map(lambda g: jnp.clip(g, -1.0, 1.0), grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def param_shardings(params):
+        if tp:
+            return jax.tree.map(lambda s: NamedSharding(mesh, s), mlp_param_spec(params))
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+
+    batch_sharding = NamedSharding(mesh, P("dp"))
+
+    def compile_step(params, opt_state_example, batch_example):
+        p_shard = param_shardings(params)
+        o_shard = jax.tree.map(lambda _: NamedSharding(mesh, P()), opt_state_example)
+        b_shard = jax.tree.map(
+            lambda x: NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1)))), batch_example)
+        return jax.jit(train_step,
+                       in_shardings=(p_shard, p_shard, o_shard, b_shard),
+                       out_shardings=(p_shard, o_shard, NamedSharding(mesh, P())))
+
+    return train_step, compile_step, batch_sharding
+
+
+def sharded_planner_batch(mesh: Mesh, plan_fn, params, states0, keys):
+    """Run a batch of independent trees sharded over dp via shard_map:
+    each device plans its shard of trees locally; ICI only carries the final
+    stats gather (the reference fans envs over process pools instead,
+    SURVEY §2.8 P1/P2)."""
+    from jax.experimental.shard_map import shard_map
+
+    state_specs = jax.tree.map(lambda _: P("dp"), states0)
+    fn = shard_map(
+        lambda s, k: jax.vmap(lambda si, ki: plan_fn(params, si, ki))(s, k),
+        mesh=mesh,
+        in_specs=(state_specs, P("dp")),
+        out_specs=P("dp"),
+        check_rep=False,
+    )
+    return fn(states0, keys)
