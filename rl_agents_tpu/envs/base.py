@@ -165,6 +165,9 @@ class EnvHandle:
         self._np_random = np.random.default_rng()
         self._jit_step = jax.jit(env.step)
         self._jit_reset = jax.jit(env.reset)
+        # the reference's load_environment resets envs on creation
+        # (factory.py:59-94); planners rely on a live state pytree
+        self.reset(seed=self.config.get("seed"))
 
     # -- gym-ish API --------------------------------------------------------
     @property
@@ -196,7 +199,7 @@ class EnvHandle:
         self.state, obs = self._jit_reset(self.params, sub)
         self.obs = obs
         self.done = False
-        return np.asarray(obs), {}
+        return jax.tree.map(np.asarray, obs), {}
 
     def step(self, action):
         self.key, sub = jax.random.split(self.key)
@@ -205,8 +208,8 @@ class EnvHandle:
         self.obs = out.obs
         self.done = bool(out.terminated) or bool(out.truncated)
         info = {k: np.asarray(v) for k, v in out.info.items()}
-        return (np.asarray(out.obs), float(out.reward), bool(out.terminated),
-                bool(out.truncated), info)
+        return (jax.tree.map(np.asarray, out.obs), float(out.reward),
+                bool(out.terminated), bool(out.truncated), info)
 
     def render(self):
         return None
