@@ -1,0 +1,183 @@
+"""Graph-based optimistic planning (deterministic), array-encoded.
+
+Rebuild of the reference planner (tree_search/graph_based.py:12-151): nodes
+are aggregated by observation (a global obs-hash table replaces the
+``planner.nodes`` str-keyed dict, graph_based.py:110-116); each expansion
+simulates every action and records rewards/edges (graph_based.py:39-53);
+value intervals [lower, upper] start at [0, 1/(1-gamma)] and are tightened by
+value iteration.
+
+The reference's queue-based asynchronous backup through parent sets
+(graph_based.py:66-78) becomes masked *global* Bellman sweeps over all
+expanded nodes until the residual drops below ``accuracy`` — the dense
+formulation the reference itself sketches (graph_based_stochastic.py:272-330),
+which converges to the same fixed point and maps to the hardware.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rl_agents_tpu.agents.tree_search.common import AbstractTreeSearchAgent
+from rl_agents_tpu.envs.base import FunctionalEnv
+from rl_agents_tpu.ops.hashing import obs_key, table_init, table_lookup_or_insert
+
+
+class Graph(NamedTuple):
+    table: Any         # HashTable: obs key -> node id
+    expanded: Any      # [N] bool
+    value_lower: Any   # [N]
+    value_upper: Any   # [N]
+    rewards: Any       # [N, A]
+    children: Any      # [N, A] i32
+    states: Any        # stacked state pytree [N, ...]
+    used: Any          # [] i32
+
+
+def _value_iteration_sweeps(graph: Graph, gamma, accuracy, max_sweeps: int = 100):
+    """Masked global Bellman sweeps until residual <= accuracy."""
+
+    def bounds_sweep(vals, default):
+        child_vals = jnp.where(graph.children >= 0,
+                               vals[jnp.maximum(graph.children, 0)], default)
+        q = graph.rewards + gamma * child_vals
+        v = jnp.max(q, axis=1)
+        return jnp.where(graph.expanded, v, vals)
+
+    def cond(carry):
+        lo, hi, delta, it = carry
+        return (delta > accuracy) & (it < max_sweeps)
+
+    def body(carry):
+        lo, hi, _, it = carry
+        new_lo = bounds_sweep(lo, 0.0)
+        new_hi = bounds_sweep(hi, 1.0 / (1.0 - gamma))
+        delta = jnp.maximum(jnp.max(jnp.abs(new_lo - lo)), jnp.max(jnp.abs(new_hi - hi)))
+        return new_lo, new_hi, delta, it + 1
+
+    lo, hi, _, _ = jax.lax.while_loop(
+        cond, body, (graph.value_lower, graph.value_upper, jnp.asarray(jnp.inf), 0))
+    return graph._replace(value_lower=lo, value_upper=hi)
+
+
+@partial(jax.jit, static_argnames=("env", "num_actions", "expansions",
+                                   "sampling_timeout", "capacity"))
+def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
+              expansions: int, gamma: float, accuracy: float = 1e-2,
+              sampling_timeout: int = 100, capacity: int = 0):
+    A = num_actions
+    N = capacity or (1 + expansions * A)
+    gamma = jnp.float32(gamma)
+
+    states = jax.tree.map(
+        lambda x: jnp.zeros((N,) + jnp.shape(x), jnp.asarray(x).dtype).at[0].set(x), state0)
+    table, root, _ = table_lookup_or_insert(table_init(2 * N), obs_key(obs0), 0)
+    graph = Graph(
+        table=table,
+        expanded=jnp.zeros((N,), bool),
+        value_lower=jnp.zeros((N,)),
+        value_upper=jnp.full((N,), 1.0 / (1.0 - gamma)),
+        rewards=jnp.zeros((N, A)),
+        children=jnp.full((N, A), -1, jnp.int32),
+        states=states,
+        used=jnp.ones((), jnp.int32),
+    )
+
+    def descend(graph, k):
+        """Optimistic sampling until an unexpanded node (graph_based.py:96-108)."""
+
+        def body(c):
+            node, k, steps = c
+            ch = jnp.maximum(graph.children[node], 0)
+            q_upper = graph.rewards[node] + gamma * graph.value_upper[ch]
+            ties = q_upper == jnp.max(q_upper)
+            k, ks = jax.random.split(k)
+            action = jax.random.categorical(ks, jnp.where(ties, 0.0, -jnp.inf))
+            return graph.children[node, action], k, steps + 1
+
+        def cond(c):
+            node, k, steps = c
+            return graph.expanded[node] & (steps < sampling_timeout)
+
+        node, k, _ = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), k, 0))
+        return node, k
+
+    def expand(graph, node):
+        """Simulate all actions; aggregate next states via the obs table
+        (graph_based.py:39-53)."""
+        state = jax.tree.map(lambda x: x[node], graph.states)
+        outs = jax.vmap(env.step, in_axes=(None, None, 0, None))(
+            params, state, jnp.arange(A), jnp.zeros((2,), jnp.uint32))
+
+        def per_action(carry, a):
+            graph = carry
+            okey = obs_key(jax.tree.map(lambda x: x[a], outs.obs))
+            table, child, is_new = table_lookup_or_insert(graph.table, okey, graph.used)
+            new_states = jax.tree.map(
+                lambda arena, new: jnp.where(is_new, arena.at[graph.used].set(new[a]), arena),
+                graph.states, outs.state)
+            graph = graph._replace(
+                table=table,
+                states=new_states,
+                used=graph.used + is_new.astype(jnp.int32),
+                rewards=graph.rewards.at[node, a].set(outs.reward[a]),
+                children=graph.children.at[node, a].set(child))
+            return graph, None
+
+        graph, _ = jax.lax.scan(per_action, graph, jnp.arange(A))
+        return graph._replace(expanded=graph.expanded.at[node].set(True))
+
+    def round_fn(carry, _):
+        graph, k = carry
+        node, k = descend(graph, k)
+        graph = expand(graph, node)
+        graph = _value_iteration_sweeps(graph, gamma, accuracy)
+        return (graph, k), None
+
+    (graph, key), _ = jax.lax.scan(round_fn, (graph, key), None, length=expansions)
+
+    # conservative plan: descend by lower-bound argmax (graph_based.py:126-135)
+    def plan_body(carry, _):
+        node, live = carry
+        has = graph.expanded[node]
+        ch = jnp.maximum(graph.children[node], 0)
+        q_lower = graph.rewards[node] + gamma * graph.value_lower[ch]
+        action = jnp.argmax(q_lower)  # first max, like the reference's max()
+        emit = live & has
+        return (jnp.where(emit, graph.children[node, action], node), emit), \
+            jnp.where(emit, action, -1)
+
+    (_, _), actions = jax.lax.scan(
+        plan_body, (jnp.zeros((), jnp.int32), jnp.asarray(True)), None,
+        length=min(sampling_timeout, 64))
+    length = jnp.sum(actions >= 0)
+    return actions, length, graph
+
+
+class GraphBasedPlannerAgent(AbstractTreeSearchAgent):
+    """(reference: graph_based.py:141-151)"""
+
+    @classmethod
+    def default_config(cls):
+        cfg = super().default_config()
+        cfg.update({"budget": 100, "sampling_timeout": 100, "accuracy": 1e-2})
+        return cfg
+
+    def make_planner(self):
+        pass
+
+    def planner_plan(self, env, observation):
+        functional = env.functional
+        A = functional.action_space.n
+        expansions = max(int(self.config["budget"]) // A, 1)
+        obs0 = env.obs if env.obs is not None else observation
+        actions, length, graph = gbop_plan(
+            functional, env.params, env.state, jax.tree.map(jnp.asarray, obs0),
+            self.next_key(), num_actions=A, expansions=expansions,
+            gamma=float(self.config["gamma"]), accuracy=float(self.config["accuracy"]),
+            sampling_timeout=int(self.config["sampling_timeout"]))
+        self.last_plan_data = graph
+        return self.get_plan_list(actions, length)

@@ -24,6 +24,7 @@ AGENT_REGISTRY: Dict[str, str] = {
     "RobustValueIterationAgent": "rl_agents_tpu.agents.dynamic_programming.robust_value_iteration:RobustValueIterationAgent",
     # tree search
     "MCTSAgent": "rl_agents_tpu.agents.tree_search.mcts:MCTSAgent",
+    "MCTSDPWAgent": "rl_agents_tpu.agents.tree_search.mcts_dpw:MCTSDPWAgent",
     "MCTSWithPriorPolicyAgent": "rl_agents_tpu.agents.tree_search.mcts_with_prior:MCTSWithPriorPolicyAgent",
     "DeterministicPlannerAgent": "rl_agents_tpu.agents.tree_search.deterministic:DeterministicPlannerAgent",
     "OLOPAgent": "rl_agents_tpu.agents.tree_search.olop:OLOPAgent",

@@ -1,0 +1,95 @@
+"""Observation hashing and open-addressing node tables.
+
+The reference's graph/stochastic planners key nodes by ``str(observation)``
+dicts and sha1 prefixes (graph_based.py:110-116, mcts_dpw.py:171-182,
+graph_based_stochastic.py:207-219). The array equivalent: observations are
+quantised and mixed into uint32 keys, and a linear-probing hash table in
+device arrays maps keys to node slots — get-or-insert is a bounded
+``while_loop``, usable inside jitted planner programs.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_MIX_PRIME = jnp.uint32(2654435761)  # Knuth multiplicative hashing
+_EMPTY = jnp.uint32(0)
+
+
+def obs_key(obs, precision: float = 1e-4) -> jnp.ndarray:
+    """Hash an observation pytree to a uint32 key (0 is reserved)."""
+    leaves = jax.tree.leaves(obs)
+    flat = jnp.concatenate([jnp.ravel(x).astype(jnp.float32) for x in leaves])
+    q = jnp.round(flat / precision).astype(jnp.int32).astype(jnp.uint32)
+
+    def mix(h, x):
+        h = (h ^ x) * _MIX_PRIME
+        h = h ^ (h >> 15)
+        return h, None
+
+    h, _ = jax.lax.scan(mix, jnp.uint32(0x9E3779B9), q)
+    return jnp.maximum(h, jnp.uint32(1))  # avoid the empty sentinel
+
+
+class HashTable(NamedTuple):
+    keys: Any    # [T] uint32, 0 = empty
+    values: Any  # [T] i32 node ids
+    count: Any   # [] i32 number of entries
+
+
+def table_init(capacity: int) -> HashTable:
+    """capacity should be ~2x the expected entries (power of two)."""
+    return HashTable(keys=jnp.zeros((capacity,), jnp.uint32),
+                     values=jnp.full((capacity,), -1, jnp.int32),
+                     count=jnp.zeros((), jnp.int32))
+
+
+def table_lookup_or_insert(table: HashTable, key, new_value):
+    """Find ``key``; insert with ``new_value`` if absent.
+
+    Returns (table, value, is_new). Linear probing, bounded by table size.
+    When the table is full and the key is absent, returns (-1, False).
+    """
+    T = table.keys.shape[0]
+    start = (key % jnp.uint32(T)).astype(jnp.int32)
+
+    def cond(carry):
+        i, found_slot, steps = carry
+        slot_key = table.keys[i]
+        done = (slot_key == key) | (slot_key == _EMPTY)
+        return (~done) & (steps < T)
+
+    def body(carry):
+        i, found_slot, steps = carry
+        return (i + 1) % T, found_slot, steps + 1
+
+    i, _, steps = jax.lax.while_loop(cond, body, (start, -1, 0))
+    slot_key = table.keys[i]
+    exists = slot_key == key
+    can_insert = (slot_key == _EMPTY) & (steps < T)
+    keys = jnp.where(can_insert, table.keys.at[i].set(key), table.keys)
+    values = jnp.where(can_insert, table.values.at[i].set(new_value), table.values)
+    count = table.count + can_insert.astype(jnp.int32)
+    value = jnp.where(exists, table.values[i], jnp.where(can_insert, new_value, -1))
+    return HashTable(keys, values, count), value, can_insert
+
+
+def table_lookup(table: HashTable, key):
+    """Find ``key``; returns -1 if absent."""
+    T = table.keys.shape[0]
+    start = (key % jnp.uint32(T)).astype(jnp.int32)
+
+    def cond(carry):
+        i, steps = carry
+        slot_key = table.keys[i]
+        done = (slot_key == key) | (slot_key == _EMPTY)
+        return (~done) & (steps < T)
+
+    def body(carry):
+        i, steps = carry
+        return (i + 1) % T, steps + 1
+
+    i, _ = jax.lax.while_loop(cond, body, (start, 0))
+    return jnp.where(table.keys[i] == key, table.values[i], -1)

@@ -1,0 +1,102 @@
+"""Tests for MDP-GapE, state-aware OPD, stochastic GBOP, PlaTyPOOS,
+TrailBlazer, MCTS-with-prior."""
+import jax
+import numpy as np
+import pytest
+
+from rl_agents_tpu.agents.tree_search.graph_based_stochastic import (
+    StochasticGraphBasedPlannerAgent,
+)
+from rl_agents_tpu.agents.tree_search.mcts_with_prior import MCTSWithPriorPolicyAgent
+from rl_agents_tpu.agents.tree_search.mdp_gape import MDPGapEAgent
+from rl_agents_tpu.agents.tree_search.platypoos import PlaTyPOOSAgent
+from rl_agents_tpu.agents.tree_search.state_aware import StateAwarePlannerAgent
+from rl_agents_tpu.agents.tree_search.trailblazer import TrailBlazer
+from rl_agents_tpu.envs.cartpole import make as make_cartpole
+from rl_agents_tpu.envs.finite_mdp import make as make_mdp
+from rl_agents_tpu.envs.gridenv import make_line
+
+TWO_ARM = {
+    "mode": "deterministic",
+    "transition": [[0, 1], [0, 1]],
+    "reward": [[0.0, 1.0], [0.0, 1.0]],
+    "terminal": [0, 0],
+    "max_episode_steps": 100,
+}
+
+AGENTS = [
+    (MDPGapEAgent, {"budget": 120, "gamma": 0.8, "accuracy": 0.1,
+                    "max_next_states_count": 2}),
+    (StateAwarePlannerAgent, {"budget": 60, "gamma": 0.8}),
+    (StochasticGraphBasedPlannerAgent, {"budget": 100, "gamma": 0.8,
+                                        "max_next_states_count": 2}),
+    (PlaTyPOOSAgent, {"budget": 200, "gamma": 0.8}),
+]
+
+
+@pytest.mark.parametrize("agent_cls,config", AGENTS)
+def test_prefers_rewarding_action(agent_cls, config):
+    env = make_mdp(TWO_ARM)
+    env.reset(seed=0)
+    agent = agent_cls(env, config)
+    agent.seed(1)
+    assert agent.act(0) == 1
+
+
+@pytest.mark.parametrize("agent_cls,config", AGENTS[:3])
+def test_runs_on_stochastic_env(agent_cls, config):
+    env = make_line({})
+    env.reset(seed=0)
+    agent = agent_cls(env, config)
+    agent.seed(0)
+    assert agent.act(0) in (0, 1)
+
+
+def test_state_aware_aggregates():
+    env = make_mdp({
+        "mode": "deterministic",
+        "transition": [[0, 1, 2], [0, 3, 2], [0, 1, 3], [3, 1, 2]],
+        "reward": [[0, 1, 0.9], [0, 0, 0.9], [0, 1, 0], [0, 1, 0.9]],
+        "terminal": [0, 0, 0, 0],
+        "max_episode_steps": 10000,
+    })
+    env.reset(seed=0)
+    agent = StateAwarePlannerAgent(env, {"budget": 60, "gamma": 0.8})
+    agent.seed(0)
+    assert agent.act(0) == 1
+    tree = agent.last_plan_data
+    # only 4 distinct states despite many tree nodes
+    assert int(tree.table.count) <= 4
+    # state values tightened below the vacuous bound
+    sv = np.asarray(tree.state_values[:int(tree.table.count)])
+    assert sv.max() <= 1 / (1 - 0.8) + 1e-5
+
+
+def test_trailblazer_two_arm():
+    env = make_mdp(dict(TWO_ARM, max_episode_steps=10000))
+    env.reset(seed=0)
+    tb = TrailBlazer(env, gamma=0.5, delta=0.1, epsilon=1.0, max_oracle_calls=500)
+    value = tb.run()
+    assert np.isfinite(value)
+    assert tb.oracle_calls > 0
+
+
+def test_mcts_with_prior_policy():
+    env = make_cartpole({"max_episode_steps": 40})
+    agent = MCTSWithPriorPolicyAgent(env, {
+        "budget": 100, "gamma": 0.95, "temperature": 20,
+        "prior_agent": {"__class__": "DQNAgent",
+                        "model": {"type": "MultiLayerPerceptron", "layers": [16]},
+                        "exploration": {"method": "Boltzmann"}},
+    })
+    agent.seed(0)
+    state, _ = env.reset(seed=0)
+    action = agent.act(state)
+    assert action in (0, 1)
+    # save/load delegates to the prior agent
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as d:
+        path = agent.save(Path(d) / "prior.tar")
+        assert path
