@@ -9,3 +9,17 @@ sharded multi-chip execution instead of env deep-copies and process pools.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if "JAX_PLATFORMS" in _os.environ:
+    # Restore the documented JAX_PLATFORMS env-var semantics: some images
+    # (this one's axon sitecustomize) override platform selection
+    # programmatically after registering accelerator plugins, which silently
+    # ignores the user's env var. Respect it again.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass

@@ -1,0 +1,336 @@
+"""Functional highway driving environments (highway-env surrogates).
+
+The reference's flagship benchmarks plan on highway-env's ``highway-v0`` and
+``intersection-v0`` (BASELINE configs 4-5; reference configs
+scripts/configs/HighwayEnv/*, IntersectionEnv/*). highway-env is a large
+pygame-based python simulator; this module provides functional surrogates
+with the same observation/action/reward interfaces so planners, DQN and the
+attention models run the same workloads as pure jnp programs:
+
+* vehicles: ego + V-1 traffic on L lanes; traffic follows IDM longitudinal
+  dynamics on fixed lanes; the ego executes highway-env's discrete
+  meta-actions [LANE_LEFT, IDLE, LANE_RIGHT, FASTER, SLOWER]
+* observation: Kinematics rows [presence, x, y, vx, vy] (ego first, others
+  relative to ego and sorted by distance, normalized) — the exact input
+  format of the EgoAttentionNetwork configs
+* reward: highway-env's normalized combination of collision penalty,
+  high-speed reward and right-lane reward
+* intersection variant: two crossing streams; collision when vehicles meet
+  inside the conflict zone
+
+Everything is vmappable: thousands of simulations step in lockstep for
+planner batches (4096 parallel trees).
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rl_agents_tpu.envs.base import Box, Discrete, EnvHandle, EnvSpec, FunctionalEnv, StepOut
+
+# meta-actions (highway-env order)
+LANE_LEFT, IDLE, LANE_RIGHT, FASTER, SLOWER = 0, 1, 2, 3, 4
+
+LANE_WIDTH = 4.0
+VEHICLE_LENGTH = 5.0
+MAX_SPEED = 40.0
+MIN_SPEED = 0.0
+
+
+class HighwayParams(NamedTuple):
+    dt: Any                 # [] policy step duration
+    lanes: Any              # [] i32 (static mirror kept in env)
+    target_speeds: Any      # [3] ego cruise speed levels
+    idm_t0: Any             # desired time gap
+    idm_a: Any              # max acceleration
+    idm_b: Any              # comfortable deceleration
+    idm_s0: Any             # minimum gap
+    speed_reward_range: Any  # [2]
+    collision_reward: Any
+    right_lane_reward: Any
+    high_speed_reward: Any
+    obs_scale: Any          # [4] normalization for (x, y, vx, vy)
+
+
+class HighwayState(NamedTuple):
+    x: Any         # [V] longitudinal positions
+    lane: Any      # [V] f32 lateral lane position (continuous for changes)
+    target_lane: Any  # [V] i32
+    speed: Any     # [V]
+    speed_level: Any  # [] i32 ego target-speed index
+    alive: Any     # [V] bool
+    crashed: Any   # [] bool
+    t: Any
+
+
+class HighwayEnv(FunctionalEnv):
+    def __init__(self, vehicles: int = 15, lanes: int = 4, max_episode_steps: int = 40,
+                 policy_dt: float = 1.0):
+        self.vehicles = vehicles
+        self.lanes = lanes
+        self.max_episode_steps = max_episode_steps
+        self.policy_dt = policy_dt
+        self.spec = EnvSpec("highway", max_episode_steps)
+
+    @property
+    def action_space(self):
+        return Discrete(5)
+
+    @property
+    def observation_space(self):
+        return Box(-1.0, 1.0, (self.vehicles, 5))
+
+    def default_params(self) -> HighwayParams:
+        return HighwayParams(
+            dt=jnp.float32(self.policy_dt),
+            lanes=jnp.int32(self.lanes),
+            target_speeds=jnp.array([20.0, 25.0, 30.0]),
+            idm_t0=jnp.float32(1.5), idm_a=jnp.float32(3.0), idm_b=jnp.float32(5.0),
+            idm_s0=jnp.float32(10.0),
+            speed_reward_range=jnp.array([20.0, 30.0]),
+            collision_reward=jnp.float32(-1.0),
+            right_lane_reward=jnp.float32(0.1),
+            high_speed_reward=jnp.float32(0.4),
+            obs_scale=jnp.array([100.0, 100.0, 20.0, 20.0]),
+        )
+
+    # ------------------------------------------------------------------
+    def reset(self, params: HighwayParams, key):
+        V, L = self.vehicles, self.lanes
+        kx, kl, ks = jax.random.split(key, 3)
+        # ego at x=0 on a random lane; traffic spread ahead with ~25m spacing
+        spacing = 25.0 + 5.0 * jax.random.uniform(kx, (V,))
+        x = jnp.cumsum(spacing) - spacing[0]
+        lane = jax.random.randint(kl, (V,), 0, L)
+        speed = 20.0 + 5.0 * jax.random.uniform(ks, (V,))
+        lane = lane.at[0].set(L - 1)
+        speed = speed.at[0].set(25.0)
+        state = HighwayState(
+            x=x, lane=lane.astype(jnp.float32), target_lane=lane.astype(jnp.int32),
+            speed=speed, speed_level=jnp.int32(1),
+            alive=jnp.ones((V,), bool), crashed=jnp.zeros((), bool),
+            t=jnp.zeros((), jnp.int32))
+        return state, self.observe(params, state)
+
+    # ------------------------------------------------------------------
+    def _idm_acceleration(self, params, state: HighwayState, target_speed):
+        """IDM longitudinal model: follow the closest leader in-lane."""
+        V = self.vehicles
+        x, speed = state.x, state.speed
+        same_lane = jnp.abs(state.lane[None, :] - state.lane[:, None]) < 0.5
+        ahead = (x[None, :] > x[:, None]) & same_lane \
+            & state.alive[None, :] & state.alive[:, None]
+        gap = jnp.where(ahead, x[None, :] - x[:, None], jnp.inf)
+        leader = jnp.argmin(gap, axis=1)
+        d = jnp.minimum(gap[jnp.arange(V), leader] - VEHICLE_LENGTH, 1e4)
+        dv = speed - speed[leader]
+        s_star = params.idm_s0 + speed * params.idm_t0 \
+            + speed * dv / (2 * jnp.sqrt(params.idm_a * params.idm_b))
+        has_leader = jnp.isfinite(gap[jnp.arange(V), leader])
+        interaction = jnp.where(has_leader, (jnp.maximum(s_star, 0.0) / jnp.maximum(d, 1.0)) ** 2, 0.0)
+        acc = params.idm_a * (1 - (speed / jnp.maximum(target_speed, 1.0)) ** 4 - interaction)
+        return jnp.clip(acc, -params.idm_b, params.idm_a)
+
+    def step(self, params: HighwayParams, state: HighwayState, action, key) -> StepOut:
+        V, L = self.vehicles, self.lanes
+        frozen = state.crashed
+
+        # --- ego meta-action ------------------------------------------
+        speed_level = jnp.clip(state.speed_level
+                               + jnp.where(action == FASTER, 1, 0)
+                               - jnp.where(action == SLOWER, 1, 0), 0, 2)
+        target_lane = jnp.clip(state.target_lane.at[0].add(
+            jnp.where(action == LANE_LEFT, -1, 0) + jnp.where(action == LANE_RIGHT, 1, 0)),
+            0, L - 1)
+
+        # --- longitudinal dynamics ------------------------------------
+        # traffic follows IDM; the ego tracks its target speed directly (it
+        # can rear-end — collision avoidance is the planner's job, as in
+        # highway-env's ControlledVehicle)
+        ego_target_speed = params.target_speeds[speed_level]
+        idm_acc = self._idm_acceleration(
+            params, state._replace(target_lane=target_lane), jnp.float32(25.0))
+        ego_acc = jnp.clip(ego_target_speed - state.speed[0], -params.idm_b, params.idm_a)
+        acc = idm_acc.at[0].set(ego_acc)
+        speed = jnp.clip(state.speed + acc * params.dt, MIN_SPEED, MAX_SPEED)
+        x = state.x + speed * params.dt
+
+        # --- lateral dynamics: first-order pull to target lane --------
+        lane = state.lane + jnp.clip(target_lane.astype(jnp.float32) - state.lane,
+                                     -params.dt, params.dt)
+
+        # --- collisions ------------------------------------------------
+        close_x = jnp.abs(x[None, :] - x[:, None]) < VEHICLE_LENGTH
+        close_lane = jnp.abs(lane[None, :] - lane[:, None]) < 0.8
+        both_alive = state.alive[None, :] & state.alive[:, None]
+        colliding = close_x & close_lane & both_alive & ~jnp.eye(V, dtype=bool)
+        ego_crash = jnp.any(colliding[0]) | state.crashed
+
+        new_state = HighwayState(
+            x=jnp.where(frozen, state.x, x),
+            lane=jnp.where(frozen, state.lane, lane),
+            target_lane=target_lane,
+            speed=jnp.where(frozen, state.speed, speed),
+            speed_level=speed_level,
+            alive=state.alive,
+            crashed=ego_crash,
+            t=state.t + 1)
+
+        # --- reward (highway-env normalized combination) --------------
+        lo, hi = params.speed_reward_range[0], params.speed_reward_range[1]
+        scaled_speed = jnp.clip((speed[0] - lo) / (hi - lo), 0.0, 1.0)
+        lane_frac = lane[0] / jnp.maximum(L - 1, 1)
+        raw = params.collision_reward * ego_crash.astype(jnp.float32) \
+            + params.high_speed_reward * scaled_speed \
+            + params.right_lane_reward * lane_frac
+        reward = (raw - params.collision_reward) \
+            / (params.high_speed_reward + params.right_lane_reward - params.collision_reward)
+        reward = jnp.where(frozen, 0.0, jnp.clip(reward, 0.0, 1.0))
+
+        terminated = ego_crash
+        truncated = new_state.t >= self.max_episode_steps
+        return StepOut(new_state, self.observe(params, new_state), reward,
+                       terminated, truncated, {"crashed": ego_crash,
+                                               "speed": speed[0],
+                                               "cost": ego_crash.astype(jnp.float32)})
+
+    # ------------------------------------------------------------------
+    def observe(self, params: HighwayParams, state: HighwayState):
+        """Kinematics observation: ego-relative, distance-sorted, normalized."""
+        V = self.vehicles
+        dx = state.x - state.x[0]
+        dy = (state.lane - state.lane[0]) * LANE_WIDTH
+        vx = state.speed - state.speed[0]
+        vy = jnp.zeros_like(vx)
+        dist = jnp.abs(dx) + jnp.abs(dy)
+        order = jnp.argsort(dist.at[0].set(-1.0))  # ego first
+        presence = state.alive[order].astype(jnp.float32)
+        rows = jnp.stack([
+            presence,
+            jnp.clip(dx[order] / params.obs_scale[0], -1, 1),
+            jnp.clip(dy[order] / params.obs_scale[1], -1, 1),
+            jnp.clip(vx[order] / params.obs_scale[2], -1, 1),
+            jnp.clip(vy[order] / params.obs_scale[3], -1, 1),
+        ], axis=1)
+        # ego row carries absolute features like highway-env
+        ego_row = jnp.array([1.0, 1.0, 0.0, 0.0, 0.0]) * jnp.stack(
+            [1.0, state.x[0] / 1000.0, state.lane[0] / jnp.maximum(self.lanes - 1, 1),
+             state.speed[0] / MAX_SPEED, 0.0])
+        rows = rows.at[0].set(ego_row)
+        return rows * presence[:, None]
+
+    def preprocess(self, name, args):
+        """highway-env planning preprocessors: ``simplify`` keeps only the
+        closest vehicles (here a no-op: V is static), ``change_vehicles``
+        swaps behavior models (here: traffic target-speed perturbations are a
+        params concern, not structural)."""
+        if name in ("simplify", "change_vehicles", "set_route_at_intersection"):
+            return self
+        raise ValueError(f"HighwayEnv has no preprocessor {name!r}")
+
+
+class IntersectionEnv(HighwayEnv):
+    """Crossing-streams surrogate of intersection-v0: the ego travels along
+    +x; crossing traffic travels along +y through a conflict zone at the
+    origin. Meta-actions control ego speed only (highway-env's intersection
+    uses 3 speed actions: SLOWER, IDLE, FASTER)."""
+
+    def __init__(self, vehicles: int = 8, max_episode_steps: int = 26,
+                 policy_dt: float = 1.0):
+        super().__init__(vehicles=vehicles, lanes=1,
+                         max_episode_steps=max_episode_steps, policy_dt=policy_dt)
+        self.spec = EnvSpec("intersection", max_episode_steps)
+
+    @property
+    def action_space(self):
+        return Discrete(3)  # SLOWER, IDLE, FASTER
+
+    def reset(self, params, key):
+        V = self.vehicles
+        kx, ks = jax.random.split(key)
+        # ego approaches from x=-60; crossing vehicles from y in [-100, -20]
+        x = jnp.concatenate([jnp.array([-60.0]),
+                             -100.0 + 80.0 * jax.random.uniform(kx, (V - 1,))])
+        speed = jnp.concatenate([jnp.array([10.0]),
+                                 8.0 + 4.0 * jax.random.uniform(ks, (V - 1,))])
+        state = HighwayState(
+            x=x, lane=jnp.zeros((V,)), target_lane=jnp.zeros((V,), jnp.int32),
+            speed=speed, speed_level=jnp.int32(1),
+            alive=jnp.ones((V,), bool), crashed=jnp.zeros((), bool),
+            t=jnp.zeros((), jnp.int32))
+        return state, self.observe(params, state)
+
+    def step(self, params, state: HighwayState, action, key) -> StepOut:
+        V = self.vehicles
+        frozen = state.crashed
+        speed_level = jnp.clip(state.speed_level
+                               + jnp.where(action == 2, 1, 0)
+                               - jnp.where(action == 0, 1, 0), 0, 2)
+        ego_target = params.target_speeds[speed_level] * 10.0 / 25.0
+        acc = jnp.where(jnp.arange(V) == 0,
+                        2.0 * (ego_target - state.speed),
+                        0.0)
+        speed = jnp.clip(state.speed + acc * params.dt, 0.0, 20.0)
+        x = state.x + speed * params.dt
+
+        # conflict: ego on x-axis, others on y-axis; both near origin -> crash
+        ego_near = jnp.abs(x[0]) < VEHICLE_LENGTH
+        others_near = jnp.abs(x) < VEHICLE_LENGTH
+        ego_crash = (ego_near & jnp.any(others_near[1:])) | state.crashed
+
+        new_state = HighwayState(
+            x=jnp.where(frozen, state.x, x), lane=state.lane,
+            target_lane=state.target_lane,
+            speed=jnp.where(frozen, state.speed, speed),
+            speed_level=speed_level, alive=state.alive, crashed=ego_crash,
+            t=state.t + 1)
+
+        arrived = x[0] > 25.0
+        scaled_speed = jnp.clip(speed[0] / 10.0, 0.0, 1.0)
+        reward = jnp.where(ego_crash, 0.0,
+                           jnp.where(arrived, 1.0, 0.5 * scaled_speed))
+        reward = jnp.where(frozen, 0.0, reward)
+        terminated = ego_crash | arrived
+        truncated = new_state.t >= self.max_episode_steps
+        return StepOut(new_state, self.observe(params, new_state), reward,
+                       terminated, truncated,
+                       {"crashed": ego_crash, "speed": speed[0],
+                        "cost": ego_crash.astype(jnp.float32)})
+
+    def observe(self, params, state: HighwayState):
+        """Crossing-geometry kinematics: others' positions are (their x) on
+        the y-axis relative to the ego on the x-axis."""
+        dx = jnp.where(jnp.arange(self.vehicles) == 0, 0.0, -state.x[0])
+        dy = jnp.where(jnp.arange(self.vehicles) == 0, 0.0, state.x)
+        vx = jnp.zeros_like(state.x)
+        vy = jnp.where(jnp.arange(self.vehicles) == 0, 0.0, state.speed)
+        presence = state.alive.astype(jnp.float32)
+        rows = jnp.stack([
+            presence,
+            jnp.clip(dx / params.obs_scale[0], -1, 1),
+            jnp.clip(dy / params.obs_scale[1], -1, 1),
+            jnp.clip(vx / params.obs_scale[2], -1, 1),
+            jnp.clip(vy / params.obs_scale[3], -1, 1),
+        ], axis=1)
+        ego_row = jnp.stack([1.0, state.x[0] / 100.0, 0.0, state.speed[0] / 20.0, 0.0])
+        return rows.at[0].set(ego_row)
+
+
+def make(config: dict | None = None) -> EnvHandle:
+    config = dict(config or {})
+    env = HighwayEnv(vehicles=config.get("vehicles_count", 15),
+                     lanes=config.get("lanes_count", 4),
+                     max_episode_steps=config.get("max_episode_steps",
+                                                  config.get("duration", 40)))
+    return EnvHandle(env, env.default_params(), config)
+
+
+def make_intersection(config: dict | None = None) -> EnvHandle:
+    config = dict(config or {})
+    env = IntersectionEnv(vehicles=config.get("vehicles_count", 8),
+                          max_episode_steps=config.get("max_episode_steps",
+                                                       config.get("duration", 26)))
+    return EnvHandle(env, env.default_params(), config)

@@ -296,7 +296,11 @@ class Evaluation:
     # ------------------------------------------------------------------
     @property
     def default_directory(self) -> Path:
-        env_name = type(getattr(self.env, "unwrapped", self.env)).__name__
+        spec = getattr(self.env, "spec", None)
+        if spec is not None and getattr(spec, "id", None):
+            env_name = spec.id
+        else:
+            env_name = type(getattr(self.env, "unwrapped", self.env)).__name__
         return Path(self.OUTPUT_FOLDER) / env_name / self.agent.__class__.__name__
 
     @property

@@ -1,0 +1,119 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rl_agents_tpu.agents.tree_search.deterministic import DeterministicPlannerAgent
+from rl_agents_tpu.agents.tree_search.mcts import MCTSAgent
+from rl_agents_tpu.envs.highway import IDLE, make, make_intersection
+from rl_agents_tpu.models import model_factory
+
+
+def test_highway_obs_format():
+    env = make({"vehicles_count": 10, "lanes_count": 3})
+    obs, _ = env.reset(seed=0)
+    assert obs.shape == (10, 5)
+    assert obs[0, 0] == 1.0  # ego present
+    assert np.all(obs >= -1) and np.all(obs <= 1)
+
+
+def test_highway_idle_rollout():
+    env = make({"vehicles_count": 8})
+    env.reset(seed=1)
+    total, crashed = 0.0, False
+    for _ in range(20):
+        obs, r, done, trunc, info = env.step(IDLE)
+        total += r
+        crashed = bool(info["crashed"])
+        if done or trunc:
+            break
+    assert total > 0
+    assert np.isfinite(total)
+
+
+def test_highway_vmap_batch():
+    env = make({"vehicles_count": 8})
+    f, params = env.functional, env.params
+    B = 256
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    states, obs = jax.vmap(f.reset, in_axes=(None, 0))(params, keys)
+    outs = jax.vmap(f.step, in_axes=(None, 0, 0, 0))(
+        params, states, jnp.ones(B, jnp.int32), keys)
+    assert outs.reward.shape == (B,)
+
+
+def test_highway_crash_on_rear_end():
+    """Forcing FASTER into slower traffic should eventually crash the ego."""
+    env = make({"vehicles_count": 15, "lanes_count": 1, "max_episode_steps": 60})
+    env.reset(seed=3)
+    crashed = False
+    for _ in range(60):
+        obs, r, done, trunc, info = env.step(3)  # FASTER, single lane
+        if info["crashed"]:
+            crashed = True
+            break
+        if done or trunc:
+            break
+    assert crashed
+
+
+def test_mcts_plans_on_highway():
+    env = make({"vehicles_count": 8, "max_episode_steps": 20})
+    agent = MCTSAgent(env, {"budget": 150, "gamma": 0.9})
+    agent.seed(0)
+    obs, _ = env.reset(seed=0)
+    total = 0.0
+    done = trunc = False
+    while not (done or trunc):
+        action = agent.act(obs)
+        obs, r, done, trunc, info = env.step(action)
+        total += r
+    assert not bool(info["crashed"])  # planner avoids collisions
+
+
+def test_opd_plans_on_highway():
+    env = make({"vehicles_count": 8, "max_episode_steps": 15})
+    agent = DeterministicPlannerAgent(env, {"budget": 75, "gamma": 0.9})
+    agent.seed(0)
+    obs, _ = env.reset(seed=0)
+    action = agent.act(obs)
+    assert action in range(5)
+
+
+def test_ego_attention_consumes_highway_obs():
+    env = make({"vehicles_count": 10})
+    obs, _ = env.reset(seed=0)
+    config = {"type": "EgoAttentionNetwork", "out": 5,
+              "embedding_layer": {"layers": [32, 32]},
+              "others_embedding_layer": {"layers": [32, 32]},
+              "attention_layer": {"feature_size": 32, "heads": 2},
+              "output_layer": {"layers": [32]}}
+    model = model_factory(config)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(obs)[None])
+    q = model.apply(params, jnp.asarray(obs)[None])
+    assert q.shape == (1, 5)
+
+
+def test_intersection_env():
+    env = make_intersection({"vehicles_count": 6})
+    obs, _ = env.reset(seed=0)
+    assert obs.shape == (6, 5)
+    total = 0.0
+    for _ in range(26):
+        obs, r, done, trunc, info = env.step(1)
+        total += r
+        if done or trunc:
+            break
+    assert np.isfinite(total)
+
+
+def test_intersection_arrival_reward():
+    """Driving FASTER through an empty intersection should arrive (reward 1)."""
+    env = make_intersection({"vehicles_count": 1})  # ego only
+    env.reset(seed=0)
+    rewards = []
+    for _ in range(26):
+        obs, r, done, trunc, info = env.step(2)
+        rewards.append(r)
+        if done or trunc:
+            break
+    assert rewards[-1] == 1.0  # arrived
