@@ -1,0 +1,188 @@
+"""Fused on-device actor-learner for value-based training.
+
+The reference's training loop crosses the host on every env step (act ->
+gym step -> record -> torch SGD; reference: deep_q_network/abstract.py:37-83)
+and scales by respawning agents in worker processes with model files as the
+parameter channel (trainer/evaluation.py:196-290). Here the entire loop is
+one jitted program: E vectorised envs act with epsilon-greedy Q-policies,
+write transitions into a device replay ring, and a DQN update runs per step —
+scanned over K steps per segment with zero host round-trips. Multi-chip: the
+env/replay batch shards over the mesh's dp axis and XLA psums the gradients.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rl_agents_tpu.agents.dqn.replay import Batch
+from rl_agents_tpu.envs.base import FunctionalEnv
+
+
+class ActorLearnerState(NamedTuple):
+    params: Any
+    target_params: Any
+    opt_state: Any
+    buffer: Batch          # capacity-C device replay ring
+    position: Any          # [] i32
+    size: Any              # [] i32
+    env_states: Any        # E-batched env states
+    obs: Any               # [E, ...]
+    episode_return: Any    # [E] running returns
+    completed_return: Any  # [] EMA of completed episode returns
+    completed_count: Any   # [] i32
+    time: Any              # [] i32 exploration time
+    key: Any
+
+
+def make_actor_learner(env: FunctionalEnv, model, optimizer,
+                       num_envs: int = 16, capacity: int = 50_000,
+                       batch_size: int = 100, gamma: float = 0.99,
+                       double: bool = True, target_update: int = 1,
+                       eps_init: float = 1.0, eps_final: float = 0.1,
+                       eps_tau: float = 5000.0, learning_starts: int = 200):
+    """Build (init_fn, segment_fn) where segment_fn runs K fused steps."""
+    E = num_envs
+    obs_shape = env.observation_space.shape
+
+    def init_fn(key):
+        key, kp, ke = jax.random.split(key, 3)
+        dummy = jnp.zeros((1,) + tuple(obs_shape), jnp.float32)
+        params = model.init(kp, dummy)
+        env_states, obs = jax.vmap(env.reset, in_axes=(None, 0))(
+            env.default_params(), jax.random.split(ke, E))
+        buffer = Batch(
+            state=jnp.zeros((capacity,) + tuple(obs_shape), jnp.float32),
+            action=jnp.zeros((capacity,), jnp.int32),
+            reward=jnp.zeros((capacity,), jnp.float32),
+            next_state=jnp.zeros((capacity,) + tuple(obs_shape), jnp.float32),
+            terminal=jnp.zeros((capacity,), bool),
+        )
+        # distinct target buffers: the segment donates its input state, and a
+        # donated buffer must not be aliased across two arguments
+        return ActorLearnerState(
+            params=params, target_params=jax.tree.map(jnp.copy, params),
+            opt_state=optimizer.init(params),
+            buffer=buffer, position=jnp.zeros((), jnp.int32), size=jnp.zeros((), jnp.int32),
+            env_states=env_states, obs=obs.astype(jnp.float32),
+            episode_return=jnp.zeros((E,)),
+            completed_return=jnp.zeros(()), completed_count=jnp.zeros((), jnp.int32),
+            time=jnp.zeros((), jnp.int32), key=key)
+
+    def loss_fn(params, target_params, batch: Batch):
+        q = model.apply(params, batch.state)
+        q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=1)[:, 0]
+        if double:
+            best = jnp.argmax(model.apply(params, batch.next_state), axis=1)
+            q_next = model.apply(target_params, batch.next_state)
+            best_values = jnp.take_along_axis(q_next, best[:, None], axis=1)[:, 0]
+        else:
+            best_values = jnp.max(model.apply(target_params, batch.next_state), axis=1)
+        target = batch.reward + gamma * jnp.where(batch.terminal, 0.0, best_values)
+        return jnp.mean((q_sa - jax.lax.stop_gradient(target)) ** 2)
+
+    def one_step(state: ActorLearnerState, _):
+        key, ka, ks, kr, kb = jax.random.split(state.key, 5)
+        params_env = env.default_params()
+
+        # ---- act: epsilon-greedy over Q ------------------------------
+        eps = eps_final + (eps_init - eps_final) * jnp.exp(
+            -state.time.astype(jnp.float32) / eps_tau)
+        q = model.apply(state.params, state.obs)
+        greedy = jnp.argmax(q, axis=1)
+        random_actions = jax.random.randint(ka, (E,), 0, q.shape[1])
+        explore = jax.random.uniform(kr, (E,)) < eps
+        actions = jnp.where(explore, random_actions, greedy)
+
+        # ---- env step (vectorised), auto-reset -----------------------
+        outs = jax.vmap(env.step, in_axes=(None, 0, 0, 0))(
+            params_env, state.env_states, actions, jax.random.split(ks, E))
+        done = outs.terminated | outs.truncated
+        reset_states, reset_obs = jax.vmap(env.reset, in_axes=(None, 0))(
+            params_env, jax.random.split(kb, E))
+        env_states = jax.tree.map(
+            lambda n, r: jnp.where(done.reshape((E,) + (1,) * (n.ndim - 1)), r, n),
+            outs.state, reset_states)
+        next_obs = jnp.where(done[:, None] if outs.obs.ndim == 2
+                             else done.reshape((E,) + (1,) * (outs.obs.ndim - 1)),
+                             reset_obs, outs.obs).astype(jnp.float32)
+
+        # episode-return bookkeeping
+        episode_return = state.episode_return + outs.reward
+        finished = jnp.sum(done.astype(jnp.int32))
+        mean_finished = jnp.sum(jnp.where(done, episode_return, 0.0)) / jnp.maximum(finished, 1)
+        completed_return = jnp.where(
+            finished > 0,
+            0.95 * state.completed_return + 0.05 * mean_finished,
+            state.completed_return)
+        episode_return = jnp.where(done, 0.0, episode_return)
+
+        # ---- replay write (E rows) -----------------------------------
+        idx = (state.position + jnp.arange(E)) % capacity
+        buffer = Batch(
+            state=state.buffer.state.at[idx].set(state.obs),
+            action=state.buffer.action.at[idx].set(actions),
+            reward=state.buffer.reward.at[idx].set(outs.reward),
+            next_state=state.buffer.next_state.at[idx].set(outs.obs.astype(jnp.float32)),
+            terminal=state.buffer.terminal.at[idx].set(outs.terminated),
+        )
+        position = (state.position + E) % capacity
+        size = jnp.minimum(state.size + E, capacity)
+
+        # ---- learner update ------------------------------------------
+        key, km = jax.random.split(key)
+        sample_idx = jax.random.randint(km, (batch_size,), 0, jnp.maximum(size, 1))
+        minibatch = jax.tree.map(lambda x: x[sample_idx], buffer)
+
+        def do_update(args):
+            params, opt_state = args
+            grads = jax.grad(loss_fn)(params, state.target_params, minibatch)
+            grads = jax.tree.map(lambda g: jnp.clip(g, -1.0, 1.0), grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        can_train = size >= jnp.maximum(batch_size, learning_starts)
+        params, opt_state = jax.lax.cond(
+            can_train, do_update, lambda a: a, (state.params, state.opt_state))
+        time = state.time + 1
+        target_params = jax.tree.map(
+            lambda p, t: jnp.where(time % target_update == 0, p, t),
+            params, state.target_params)
+
+        new_state = ActorLearnerState(
+            params=params, target_params=target_params, opt_state=opt_state,
+            buffer=buffer, position=position, size=size,
+            env_states=env_states, obs=next_obs,
+            episode_return=episode_return, completed_return=completed_return,
+            completed_count=state.completed_count + finished,
+            time=time, key=key)
+        return new_state, outs.reward.mean()
+
+    @partial(jax.jit, static_argnames=("steps",), donate_argnums=(0,))
+    def segment_fn(state: ActorLearnerState, steps: int = 100):
+        state, rewards = jax.lax.scan(one_step, state, None, length=steps)
+        return state, rewards.mean()
+
+    return init_fn, segment_fn
+
+
+def train_dqn_fused(env: FunctionalEnv, model, total_steps: int = 5000,
+                    segment: int = 250, seed: int = 0, lr: float = 5e-4,
+                    writer=None, **kwargs):
+    """Convenience driver: fused DQN training to a step budget; returns the
+    final ActorLearnerState and the history of EMA episode returns."""
+    optimizer = optax.adam(lr)
+    init_fn, segment_fn = make_actor_learner(env, model, optimizer, **kwargs)
+    state = init_fn(jax.random.PRNGKey(seed))
+    history = []
+    for i in range(total_steps // segment):
+        state, mean_reward = segment_fn(state, steps=segment)
+        ema = float(state.completed_return)
+        history.append(ema)
+        if writer is not None:
+            writer.add_scalar("episode/ema_return", ema, i * segment)
+    return state, history

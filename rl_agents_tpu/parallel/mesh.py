@@ -110,7 +110,7 @@ def sharded_planner_batch(mesh: Mesh, plan_fn, params, states0, keys):
     each device plans its shard of trees locally; ICI only carries the final
     stats gather (the reference fans envs over process pools instead,
     SURVEY §2.8 P1/P2)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     state_specs = jax.tree.map(lambda _: P("dp"), states0)
     fn = shard_map(
@@ -118,6 +118,6 @@ def sharded_planner_batch(mesh: Mesh, plan_fn, params, states0, keys):
         mesh=mesh,
         in_specs=(state_specs, P("dp")),
         out_specs=P("dp"),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(states0, keys)
