@@ -209,6 +209,22 @@ class MCTSAgent(AbstractTreeSearchAgent):
 
     def planner_plan(self, env, observation):
         functional = env.functional
+        if self.config.get("closed_loop"):
+            from rl_agents_tpu.agents.tree_search.mcts_closed_loop import (
+                mcts_closed_loop_plan,
+            )
+
+            action, tree = mcts_closed_loop_plan(
+                functional, env.params, env.state, self.next_key(),
+                self.prior_probs, self.rollout_probs,
+                num_actions=functional.action_space.n,
+                episodes=int(self.config["episodes"]),
+                horizon=int(self.config["horizon"]),
+                gamma=float(self.config["gamma"]),
+                temperature=float(self.config["temperature"]),
+                width=int(self.config.get("max_next_states_count", 8)))
+            self.last_plan_data = tree
+            return [int(action)]
         actions, length, tree = mcts_plan(
             functional, env.params, env.state, self.next_key(),
             self.prior_probs, self.rollout_probs,

@@ -99,6 +99,12 @@ class Evaluation:
             from rl_agents_tpu.trainer.graphics import RewardViewer
 
             self.reward_viewer = RewardViewer()
+        self.recorder = None
+        if display_env:
+            from rl_agents_tpu.graphics.render import EpisodeRecorder, renderer_for
+
+            if renderer_for(self.env) is not None:
+                self.recorder = EpisodeRecorder(self.run_directory)
         self.observation = None
 
     def _make_writer(self):
@@ -138,12 +144,18 @@ class Evaluation:
         for self.episode in range(self.num_episodes):
             terminal = False
             self.reset(seed=self.episode)
+            record = self.recorder is not None and (
+                not self.training or capped_cubic_video_schedule(self.episode))
             rewards = []
             start_time = time.time()
             while not terminal:
                 reward, terminal = self.step()
                 rewards.append(reward)
+                if record:
+                    self.recorder.capture(self.env)
             duration = time.time() - start_time
+            if record:
+                self.recorder.save(self.episode)
             self.after_all_episodes(self.episode, rewards, duration)
             self.after_some_episodes(self.episode, rewards)
 

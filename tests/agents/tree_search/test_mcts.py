@@ -53,3 +53,21 @@ def test_mcts_batch():
     assert np.all(np.asarray(lengths) >= 1)
     # root visit counts equal the episode count
     np.testing.assert_array_equal(np.asarray(trees.count[:, 0]), 20)
+
+
+def test_closed_loop_mcts():
+    """closed_loop=True conditions on outcomes (reference mcts.py:147,267-273)."""
+    from rl_agents_tpu.envs.gridenv import make_line
+
+    env = make_line({})
+    env.reset(seed=0)
+    agent = MCTSAgent(env, config=dict(budget=120, gamma=0.9, closed_loop=True,
+                                       max_next_states_count=4))
+    agent.seed(0)
+    total, done, trunc = 0.0, False, False
+    obs = 0
+    while not (done or trunc):
+        a = agent.act(obs)
+        obs, r, done, trunc, _ = env.step(a)
+        total += r
+    assert total >= 8  # near-max return on the stochastic line env
