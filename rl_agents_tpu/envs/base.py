@@ -226,11 +226,19 @@ class EnvHandle:
     def preprocess(self, name, args):
         new = self.fork()
         try:
-            new.functional = self.functional.preprocess(name, args)
-            new._jit_step = jax.jit(new.functional.step)
-            new._jit_reset = jax.jit(new.functional.reset)
+            result = self.functional.preprocess(name, args)
         except ValueError:
-            pass
+            return new
+        if isinstance(result, tuple):
+            new.functional, transform = result
+            if self.state is not None:
+                new.params, new.state = transform(self.params, self.state)
+            if new.state is not None:
+                new.obs = new.functional.observe(new.params, new.state)
+        else:
+            new.functional = result
+        new._jit_step = jax.jit(new.functional.step)
+        new._jit_reset = jax.jit(new.functional.reset)
         return new
 
 

@@ -223,11 +223,28 @@ class HighwayEnv(FunctionalEnv):
         return rows * presence[:, None]
 
     def preprocess(self, name, args):
-        """highway-env planning preprocessors: ``simplify`` keeps only the
-        closest vehicles (here a no-op: V is static), ``change_vehicles``
-        swaps behavior models (here: traffic target-speed perturbations are a
-        params concern, not structural)."""
-        if name in ("simplify", "change_vehicles", "set_route_at_intersection"):
+        """highway-env planning preprocessors (reference: factory.py:97-116):
+        ``simplify`` keeps the ego + closest vehicles, shrinking the planning
+        model (highway-env's AbstractEnv.simplify); others are no-ops here."""
+        if name == "simplify":
+            keep = int(args[0]) if args else min(self.vehicles, 6)
+            keep = min(keep, self.vehicles)
+            smaller = HighwayEnv(vehicles=keep, lanes=self.lanes,
+                                 max_episode_steps=self.max_episode_steps,
+                                 policy_dt=self.policy_dt)
+
+            def transform(params, state: HighwayState):
+                dist = jnp.abs(state.x - state.x[0]).at[0].set(-1.0)
+                order = jnp.argsort(dist)[:keep]
+                return params, HighwayState(
+                    x=state.x[order], lane=state.lane[order],
+                    target_lane=state.target_lane[order],
+                    speed=state.speed[order],
+                    speed_level=state.speed_level,
+                    alive=state.alive[order], crashed=state.crashed, t=state.t)
+
+            return smaller, transform
+        if name in ("change_vehicles", "set_route_at_intersection"):
             return self
         raise ValueError(f"HighwayEnv has no preprocessor {name!r}")
 

@@ -117,3 +117,30 @@ def test_intersection_arrival_reward():
         if done or trunc:
             break
     assert rewards[-1] == 1.0  # arrived
+
+
+def test_simplify_preprocessor():
+    """env_preprocessors [{"method": "simplify"}] shrinks the planning model
+    (reference factory.py:97-116 + highway-env simplify)."""
+    from rl_agents_tpu.factory import preprocess_env
+
+    env = make({"vehicles_count": 15})
+    env.reset(seed=0)
+    simplified = preprocess_env(env, [{"method": "simplify", "args": [6]}])
+    assert simplified.functional.vehicles == 6
+    assert simplified.state.x.shape == (6,)
+    # ego preserved as vehicle 0
+    np.testing.assert_allclose(float(simplified.state.x[0]), float(env.state.x[0]))
+    # planning on the simplified env works
+    agent = DeterministicPlannerAgent(simplified, {"budget": 30, "gamma": 0.9})
+    agent.seed(0)
+    assert agent.act(None) in range(5)
+
+
+def test_planner_agent_with_simplify_config():
+    env = make({"vehicles_count": 12, "max_episode_steps": 10})
+    agent = MCTSAgent(env, {"budget": 80, "gamma": 0.9,
+                            "env_preprocessors": [{"method": "simplify", "args": [5]}]})
+    agent.seed(0)
+    obs, _ = env.reset(seed=0)
+    assert agent.act(obs) in range(5)
