@@ -61,6 +61,9 @@ ENV_REGISTRY: Dict[str, str] = {
     "gridenv": "rl_agents_tpu.envs.gridenv:make_grid",
     "lineenv": "rl_agents_tpu.envs.gridenv:make_line",
     "dynamics": "rl_agents_tpu.envs.dynamics:make",
+    "mountaincar": "rl_agents_tpu.envs.classic:make_mountaincar",
+    "pendulum": "rl_agents_tpu.envs.classic:make_pendulum",
+    "linear-system": "rl_agents_tpu.envs.linear:make",
     "highway": "rl_agents_tpu.envs.highway:make",
     "intersection": "rl_agents_tpu.envs.highway:make_intersection",
 }

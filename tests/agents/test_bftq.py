@@ -152,3 +152,31 @@ def test_bftq_agent_integration():
     agent.eval()
     action = agent.act(state)
     assert action in (0, 1)
+
+
+def test_bftq_on_intersection():
+    """BASELINE config 5: budgeted fitted-Q on the intersection env, with
+    costs emitted by the env itself (crashes)."""
+    from rl_agents_tpu.envs.highway import make_intersection
+
+    env = make_intersection({"vehicles_count": 4, "max_episode_steps": 12})
+    agent = BFTQAgent(env, {
+        "epochs": 2, "regression_epochs": 20,
+        "betas_for_duplication": [0.0, 1.0],
+        "betas_for_discretisation": "np.arange(0, 1, 0.25)",
+        "network": {"beta_encoder_type": "LINEAR", "size_beta_encoder": 4,
+                    "activation_type": "RELU", "layers": [16]},
+    })
+    agent.seed(0)
+    state, _ = env.reset(seed=0)
+    for _ in range(24):
+        action = agent.act(state)
+        next_state, reward, done, truncated, info = env.step(action)
+        assert "cost" in info
+        agent.record(state, action, reward, next_state, done, info)
+        state = next_state
+        if done or truncated:
+            state, _ = env.reset()
+    agent.update()
+    agent.eval()
+    assert agent.act(state) in range(3)
