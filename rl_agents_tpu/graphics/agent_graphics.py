@@ -17,10 +17,20 @@ class AgentGraphics:
     @classmethod
     def display(cls, agent, writer=None, epoch: int = 0):
         from rl_agents_tpu.agents.dqn.agent import DQNAgent
+        from rl_agents_tpu.agents.dynamic_programming.value_iteration import (
+            ValueIterationAgent,
+        )
+        from rl_agents_tpu.agents.robust.robust_epc import RobustEPCAgent
         from rl_agents_tpu.agents.tree_search.common import AbstractTreeSearchAgent
 
         if isinstance(agent, DQNAgent):
             return DQNGraphics.display(agent, writer, epoch)
+        elif isinstance(agent, ValueIterationAgent):
+            return ValueIterationGraphics.display(agent, writer, epoch)
+        elif isinstance(agent, RobustEPCAgent):
+            from rl_agents_tpu.graphics.robust_graphics import RobustEPCGraphics
+
+            return RobustEPCGraphics.display_ellipsoids(agent, writer, epoch)
         elif isinstance(agent, AbstractTreeSearchAgent) and agent.last_plan_data is not None:
             from rl_agents_tpu.graphics.tree_plot import TreePlot
 
@@ -66,6 +76,32 @@ class DQNGraphics:
         x = jnp.asarray(np.asarray(state), jnp.float32)[None]
         att = model.apply(agent.train_state.params, x, method=model.get_attention_matrix)
         return np.asarray(att)[0]
+
+
+class ValueIterationGraphics:
+    """Q-table heatmap for finite-MDP agents
+    (reference: dynamic_programming/graphics.py:8-62)."""
+
+    @classmethod
+    def display(cls, agent, writer=None, epoch: int = 0):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        q = np.asarray(agent.state_action_value)
+        fig, ax = plt.subplots()
+        mesh = ax.pcolormesh(q.T, shading="auto", cmap="viridis")
+        fig.colorbar(mesh, label="Q(s, a)")
+        ax.set_xlabel("state")
+        ax.set_ylabel("action")
+        if writer is not None:
+            try:
+                writer.add_figure("agent/q_table", fig, epoch)
+            except AttributeError:
+                pass
+        plt.close(fig)
+        return fig
 
 
 class ValueFunctionViewer:

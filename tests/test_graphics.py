@@ -67,3 +67,17 @@ def test_renderers():
     hw.reset(seed=0)
     frame = HighwayRenderer().render(hw)
     assert frame.ndim == 3
+
+
+def test_vi_q_table_heatmap():
+    from rl_agents_tpu.agents.dynamic_programming.value_iteration import ValueIterationAgent
+    from rl_agents_tpu.envs.finite_mdp import make as make_mdp
+    from rl_agents_tpu.graphics.agent_graphics import ValueIterationGraphics
+
+    env = make_mdp({"mode": "deterministic",
+                    "transition": [[0, 1, 2], [0, 3, 2], [0, 1, 3], [3, 1, 2]],
+                    "reward": [[0, 1, 0.9], [0, 0, 0.9], [0, 1, 0], [0, 1, 0.9]],
+                    "terminal": [0, 0, 0, 0]})
+    agent = ValueIterationAgent(env, {"gamma": 0.9})
+    assert ValueIterationGraphics.display(agent) is not None
+    assert AgentGraphics.display(agent) is not None

@@ -77,3 +77,32 @@ def test_sharded_planner_batch(mesh):
     actions = sharded_planner_batch(dp_mesh, plan_one, params, states0, keys)
     assert actions.shape == (B, 8)
     assert np.all(np.asarray(actions) < 2)
+
+
+def test_fused_actor_learner_sharded(mesh):
+    """The fused actor-learner segment runs SPMD: env batch + replay sharded
+    over dp, params replicated; XLA inserts the gradient reduction."""
+    import optax
+
+    from rl_agents_tpu.parallel.actor_learner import make_actor_learner
+
+    env = CartPoleEnv(max_episode_steps=50)
+    model = MultiLayerPerceptron(layers=(32, 32), out=2)
+    dp_mesh = make_mesh(8, axes=("dp",), shape=(8,))
+    init_fn, segment_fn = make_actor_learner(env, model, optax.adam(1e-3),
+                                             num_envs=16, capacity=1024, batch_size=32)
+    state = init_fn(jax.random.PRNGKey(0))
+    # shard env batch and replay over dp; everything else replicated
+    state = state._replace(
+        env_states=jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(dp_mesh, P("dp", *([None] * (x.ndim - 1))))),
+            state.env_states),
+        obs=jax.device_put(state.obs, NamedSharding(dp_mesh, P("dp", None))),
+        buffer=jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(dp_mesh, P("dp", *([None] * (x.ndim - 1))))),
+            state.buffer),
+    )
+    state, mean_reward = segment_fn(state, steps=20)
+    jax.block_until_ready(state.params)
+    assert np.isfinite(float(mean_reward))
+    assert int(state.size) == min(20 * 16, 1024)
