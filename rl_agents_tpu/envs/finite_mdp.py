@@ -14,7 +14,6 @@ structure so jit specialises the Bellman gather/matmul per mode:
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, NamedTuple
 
 import jax

@@ -11,9 +11,9 @@ from __future__ import annotations
 import json
 import logging
 from pathlib import Path
-from typing import Any, Dict
+from typing import Dict
 
-from rl_agents_tpu.configuration import load_json_config, rec_update
+from rl_agents_tpu.configuration import load_json_config
 
 logger = logging.getLogger(__name__)
 

@@ -137,7 +137,6 @@ class BFTQGraphics:
 
     @classmethod
     def display_frontier(cls, agent, state, writer=None, epoch: int = 0):
-        import jax
         import jax.numpy as jnp
         import matplotlib
 

@@ -17,7 +17,7 @@ Architecture notes preserved from the reference:
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,6 @@ Weights stay resident in HBM; there is no file-based parameter channel.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
