@@ -10,12 +10,18 @@ Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 import json
+import os
 import statistics
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
+
+# keep a CPU backend available for the reference-baseline measurement even
+# when the driver pins JAX_PLATFORMS to the TPU platform
+if os.environ.get("JAX_PLATFORMS") and "cpu" not in os.environ["JAX_PLATFORMS"]:
+    os.environ["JAX_PLATFORMS"] += ",cpu"
 
 import jax
 import jax.numpy as jnp

@@ -39,7 +39,7 @@ def cem_plan(env: FunctionalEnv, params, state0, key, horizon: int, iterations: 
             action, k = inp
             if discrete:
                 action = action[0].astype(jnp.int32)
-            out = env.step(params, state, action, k)
+            out = env.transition(params, state, action, k)
             reward = jnp.where(live, out.reward, 0.0)
             return (out.state, live & ~out.done), reward
 

@@ -72,7 +72,7 @@ def robust_opd_plan(env: FunctionalEnv, params_ensemble, states0, key, num_actio
         states=states,
     )
 
-    step_ma = jax.vmap(jax.vmap(env.step, in_axes=(0, 0, None, None)),  # over models
+    step_ma = jax.vmap(jax.vmap(env.transition, in_axes=(0, 0, None, None)),  # over models
                        in_axes=(None, None, 0, None))                   # over actions
 
     def expand(tree, leaf_idx):

@@ -92,7 +92,7 @@ def _expand(env: FunctionalEnv, params, tree: OPDTree, leaf_idx, gamma, terminal
     leaf_state = jax.tree.map(lambda x: x[leaf_idx], tree.states)
     actions = jnp.arange(A)
     keys = jnp.zeros((A, 2), jnp.uint32)  # deterministic planner: null keys
-    outs = jax.vmap(env.step, in_axes=(None, None, 0, 0))(params, leaf_state, actions, keys)
+    outs = jax.vmap(env.transition, in_axes=(None, None, 0, 0))(params, leaf_state, actions, keys)
 
     d = tree.depth[leaf_idx] + 1
     reward = outs.reward.astype(jnp.float32)

@@ -93,7 +93,7 @@ def mcts_plan(env: FunctionalEnv, params, state0, key, prior_probs, rollout_prob
                 tree.count[chs].astype(jnp.float32) + 1.0)
             k, ka, ks = jax.random.split(k, 3)
             action = _masked_random_argmax(ka, scores, valid)
-            out = env.step(params, state, action, ks)
+            out = env.transition(params, state, action, ks)
             total = total + gamma ** depth.astype(jnp.float32) * out.reward
             return (ch[action], out.state, depth + 1, total,
                     terminal | out.terminated, k)
@@ -123,7 +123,7 @@ def mcts_plan(env: FunctionalEnv, params, state0, key, prior_probs, rollout_prob
             state, h, total, terminal, k = c
             k, ka, ks = jax.random.split(k, 3)
             action = jax.random.categorical(ka, jnp.log(rollout_probs))
-            out = env.step(params, state, action, ks)
+            out = env.transition(params, state, action, ks)
             live = (h < horizon) & ~terminal
             total = total + jnp.where(live, gamma ** h.astype(jnp.float32) * out.reward, 0.0)
             state = jax.tree.map(lambda old, new: jnp.where(live, new, old), state, out.state)

@@ -38,7 +38,7 @@ def sparse_sampling_plan(env: FunctionalEnv, params, state0, key, num_actions: i
         n = A ** d * C ** d
 
         def step_one(state, action, k):
-            return env.step(params, state, action, k)
+            return env.transition(params, state, action, k)
 
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, n * A * C).reshape(n, A, C, 2)

@@ -108,6 +108,14 @@ class FunctionalEnv:
         """Observation of a state (pure; default: envs override)."""
         raise NotImplementedError
 
+    def transition(self, params, state, action, key) -> StepOut:
+        """Like ``step`` but exempt from producing a real observation —
+        open-loop planners (OPD, MCTS rollouts, CEM) never read it, and for
+        envs with expensive observations (highway's sorted kinematics) an
+        override that skips ``observe`` removes that cost from the planning
+        hot path. Default: full step."""
+        return self.step(params, state, action, key)
+
     # -- static structure ---------------------------------------------------
     @property
     def action_space(self) -> Discrete | Box:

@@ -58,7 +58,25 @@ class DynamicsEnv(FunctionalEnv):
         return StepOut(new_state, x, reward, jnp.zeros((), bool), t >= self.max_episode_steps, {})
 
 
+class ContinuousDynamicsEnv(DynamicsEnv):
+    """Box-action variant: u in [-1, 1] directly (the reference's CEM plans
+    over continuous action spaces, cross_entropy_method/cem.py:16-18)."""
+
+    @property
+    def action_space(self):
+        return Box(np.float32(-1.0), np.float32(1.0), (1,))
+
+    def step(self, params: DynParams, state: DynState, action, key) -> StepOut:
+        u = jnp.clip(jnp.ravel(jnp.atleast_1d(action))[0], -1.0, 1.0)
+        x = params.A @ state.x + params.B * u
+        reward = jnp.maximum(1.0 - x[0] ** 2, 0.0)
+        t = state.t + 1
+        new_state = DynState(x, t)
+        return StepOut(new_state, x, reward, jnp.zeros((), bool), t >= self.max_episode_steps, {})
+
+
 def make(config: dict | None = None) -> EnvHandle:
     config = dict(config or {})
-    env = DynamicsEnv(dt=config.get("dt", 0.1), max_episode_steps=config.get("max_episode_steps", 100))
+    cls = ContinuousDynamicsEnv if config.get("continuous") else DynamicsEnv
+    env = cls(dt=config.get("dt", 0.1), max_episode_steps=config.get("max_episode_steps", 100))
     return EnvHandle(env, env.default_params(), config)

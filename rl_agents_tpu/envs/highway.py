@@ -134,6 +134,12 @@ class HighwayEnv(FunctionalEnv):
         return jnp.clip(acc, -params.idm_b, params.idm_a)
 
     def step(self, params: HighwayParams, state: HighwayState, action, key) -> StepOut:
+        out = self.transition(params, state, action, key)
+        return out._replace(obs=self.observe(params, out.state))
+
+    def transition(self, params: HighwayParams, state: HighwayState, action, key) -> StepOut:
+        """Dynamics without the (sorted, normalized) observation build —
+        the open-loop planning hot path."""
         V, L = self.vehicles, self.lanes
         frozen = state.crashed
 
@@ -191,7 +197,7 @@ class HighwayEnv(FunctionalEnv):
 
         terminated = ego_crash
         truncated = new_state.t >= self.max_episode_steps
-        return StepOut(new_state, self.observe(params, new_state), reward,
+        return StepOut(new_state, jnp.zeros((0,)), reward,
                        terminated, truncated, {"crashed": ego_crash,
                                                "speed": speed[0],
                                                "cost": ego_crash.astype(jnp.float32)})

@@ -45,6 +45,15 @@ def agent_configs():
     }
 
 
+def parse_env_arg(env):
+    """Accept an env JSON file path or an inline JSON object string."""
+    if isinstance(env, str) and env.strip().startswith("{"):
+        import json
+
+        return json.loads(env)
+    return env
+
+
 def evaluate_cell(env_config, agent_name, agent_config, budget, seeds):
     """Return of the first planned action sequence, per seed."""
     returns = []
@@ -85,7 +94,7 @@ def main():
     rows = []
     for name, config in configs.items():
         for budget in budgets:
-            returns = evaluate_cell(args.env, name, config, budget, args.seeds)
+            returns = evaluate_cell(parse_env_arg(args.env), name, config, budget, args.seeds)
             for seed, ret in enumerate(returns):
                 rows.append({"agent": name, "budget": int(budget), "seed": seed,
                              "return": float(ret)})

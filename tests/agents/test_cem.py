@@ -50,3 +50,17 @@ def test_latent_cem():
     action = agent.plan(np.zeros(2), np.ones(2))
     assert len(action) == 1
     assert action[0] < 0  # push the positive state towards zero
+
+
+def test_cem_continuous_actions():
+    """CEM over a Box action space (the reference's native setting)."""
+    env = make_dynamics({"continuous": True})
+    agent = CEMAgent(env, {"horizon": 10, "iterations": 5, "candidates": 60,
+                           "top_candidates": 6})
+    assert not agent.discrete
+    agent.seed(0)
+    env.reset(seed=0)
+    plan = agent.plan(None)
+    assert len(plan) == 10
+    # regulating x0 from -1 toward 0 needs initial positive control
+    assert plan[0][0] > 0
