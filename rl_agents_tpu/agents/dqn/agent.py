@@ -200,6 +200,19 @@ class DQNAgent(AbstractStochasticAgent):
         except AttributeError:
             pass
 
+    def explore(self, enable: bool):
+        """Force pure exploration (the harness enables this on the first
+        collection batch; reference: evaluation.py:266-267 sets
+        final_temperature=1 in the worker config)."""
+        if enable:
+            self._saved_exploration = dict(self.config["exploration"])
+            self.config["exploration"]["final_temperature"] = 1
+        elif getattr(self, "_saved_exploration", None) is not None:
+            self.config["exploration"] = self._saved_exploration
+            self._saved_exploration = None
+        self.exploration_policy = exploration_factory(self.config["exploration"],
+                                                      self.env.action_space)
+
     def eval(self):
         self.training = False
         self.config["exploration"]["method"] = "Greedy"
