@@ -120,15 +120,23 @@ class HighwayEnv(FunctionalEnv):
         V = self.vehicles
         x, speed = state.x, state.speed
         same_lane = jnp.abs(state.lane[None, :] - state.lane[:, None]) < 0.5
-        ahead = (x[None, :] > x[:, None]) & same_lane \
-            & state.alive[None, :] & state.alive[:, None]
+        # bool arrays never get trailing dims inserted (Mosaic restriction);
+        # widen through f32 for the pairwise alive mask
+        alive_f = state.alive.astype(jnp.float32)
+        pair_alive = (alive_f[None, :] * alive_f[:, None]) > 0
+        ahead = (x[None, :] > x[:, None]) & same_lane & pair_alive
+        # gather-free leader lookup (masked reductions instead of indexed
+        # gathers: keeps the step lowerable inside Pallas kernels)
         gap = jnp.where(ahead, x[None, :] - x[:, None], jnp.inf)
-        leader = jnp.argmin(gap, axis=1)
-        d = jnp.minimum(gap[jnp.arange(V), leader] - VEHICLE_LENGTH, 1e4)
-        dv = speed - speed[leader]
+        gap_min = jnp.min(gap, axis=1)
+        has_leader = jnp.isfinite(gap_min)
+        lead_mask = ahead & (gap <= gap_min[:, None])
+        lead_count = jnp.maximum(jnp.sum(lead_mask, axis=1), 1)
+        leader_speed = jnp.sum(jnp.where(lead_mask, speed[None, :], 0.0), axis=1) / lead_count
+        d = jnp.minimum(jnp.where(has_leader, gap_min, 1e4) - VEHICLE_LENGTH, 1e4)
+        dv = speed - leader_speed
         s_star = params.idm_s0 + speed * params.idm_t0 \
             + speed * dv / (2 * jnp.sqrt(params.idm_a * params.idm_b))
-        has_leader = jnp.isfinite(gap[jnp.arange(V), leader])
         interaction = jnp.where(has_leader, (jnp.maximum(s_star, 0.0) / jnp.maximum(d, 1.0)) ** 2, 0.0)
         acc = params.idm_a * (1 - (speed / jnp.maximum(target_speed, 1.0)) ** 4 - interaction)
         return jnp.clip(acc, -params.idm_b, params.idm_a)
@@ -147,19 +155,21 @@ class HighwayEnv(FunctionalEnv):
         speed_level = jnp.clip(state.speed_level
                                + jnp.where(action == FASTER, 1, 0)
                                - jnp.where(action == SLOWER, 1, 0), 0, 2)
-        target_lane = jnp.clip(state.target_lane.at[0].add(
-            jnp.where(action == LANE_LEFT, -1, 0) + jnp.where(action == LANE_RIGHT, 1, 0)),
-            0, L - 1)
+        is_ego = jnp.arange(V) == 0
+        lane_delta = jnp.where(action == LANE_LEFT, -1, 0) + jnp.where(action == LANE_RIGHT, 1, 0)
+        target_lane = jnp.clip(state.target_lane + jnp.where(is_ego, lane_delta, 0), 0, L - 1)
 
         # --- longitudinal dynamics ------------------------------------
         # traffic follows IDM; the ego tracks its target speed directly (it
         # can rear-end — collision avoidance is the planner's job, as in
         # highway-env's ControlledVehicle)
-        ego_target_speed = params.target_speeds[speed_level]
+        ego_target_speed = jnp.sum(jnp.where(
+            jnp.arange(params.target_speeds.shape[0]) == speed_level,
+            params.target_speeds, 0.0))
         idm_acc = self._idm_acceleration(
             params, state._replace(target_lane=target_lane), jnp.float32(25.0))
         ego_acc = jnp.clip(ego_target_speed - state.speed[0], -params.idm_b, params.idm_a)
-        acc = idm_acc.at[0].set(ego_acc)
+        acc = jnp.where(is_ego, ego_acc, idm_acc)  # scatter-free (Mosaic has no scatter)
         speed = jnp.clip(state.speed + acc * params.dt, MIN_SPEED, MAX_SPEED)
         x = state.x + speed * params.dt
 
@@ -170,15 +180,21 @@ class HighwayEnv(FunctionalEnv):
         # --- collisions ------------------------------------------------
         close_x = jnp.abs(x[None, :] - x[:, None]) < VEHICLE_LENGTH
         close_lane = jnp.abs(lane[None, :] - lane[:, None]) < 0.8
-        both_alive = state.alive[None, :] & state.alive[:, None]
-        colliding = close_x & close_lane & both_alive & ~jnp.eye(V, dtype=bool)
+        alive_f2 = state.alive.astype(jnp.float32)
+        both_alive = (alive_f2[None, :] * alive_f2[:, None]) > 0
+        not_self = jax.lax.broadcasted_iota(jnp.int32, (V, V), 0) \
+            != jax.lax.broadcasted_iota(jnp.int32, (V, V), 1)
+        colliding = close_x & close_lane & both_alive & not_self
         ego_crash = jnp.any(colliding[0]) | state.crashed
 
+        # arithmetic freeze-blend: a bool scalar broadcast over [V] inserts a
+        # minor dim on a sub-32-bit type, which Mosaic cannot lower
+        fm = frozen.astype(jnp.float32)
         new_state = HighwayState(
-            x=jnp.where(frozen, state.x, x),
-            lane=jnp.where(frozen, state.lane, lane),
+            x=state.x * fm + x * (1 - fm),
+            lane=state.lane * fm + lane * (1 - fm),
             target_lane=target_lane,
-            speed=jnp.where(frozen, state.speed, speed),
+            speed=state.speed * fm + speed * (1 - fm),
             speed_level=speed_level,
             alive=state.alive,
             crashed=ego_crash,
@@ -197,7 +213,8 @@ class HighwayEnv(FunctionalEnv):
 
         terminated = ego_crash
         truncated = new_state.t >= self.max_episode_steps
-        return StepOut(new_state, jnp.zeros((0,)), reward,
+        # placeholder obs: zero-size arrays do not lower in Mosaic kernels
+        return StepOut(new_state, jnp.zeros((1,)), reward,
                        terminated, truncated, {"crashed": ego_crash,
                                                "speed": speed[0],
                                                "cost": ego_crash.astype(jnp.float32)})
