@@ -172,7 +172,20 @@ def mcts_plan(env: FunctionalEnv, params, state0, key, prior_probs, rollout_prob
 
 def mcts_plan_batch(env, params, states0, keys, prior_probs, rollout_probs,
                     num_actions, episodes, horizon, gamma, temperature):
-    """vmap of mcts_plan over a leading tree-batch axis."""
+    """Batched MCTS over a leading tree-batch axis (fused implementation —
+    see mcts_fused.py for the TPU-oriented loop restructuring)."""
+    from rl_agents_tpu.agents.tree_search.mcts_fused import mcts_plan_batch_fused
+
+    return mcts_plan_batch_fused(env, params, states0, keys, prior_probs,
+                                 rollout_probs, num_actions=num_actions,
+                                 episodes=episodes, horizon=horizon,
+                                 gamma=gamma, temperature=temperature)
+
+
+def mcts_plan_batch_vmap(env, params, states0, keys, prior_probs, rollout_probs,
+                         num_actions, episodes, horizon, gamma, temperature):
+    """vmap of the single-tree mcts_plan (reference loop structure; kept for
+    cross-validation against the fused planner)."""
     fn = partial(mcts_plan, env, num_actions=num_actions, episodes=episodes,
                  horizon=horizon, gamma=gamma, temperature=temperature)
     return jax.vmap(lambda s, k: fn(params, s, k, prior_probs, rollout_probs))(states0, keys)

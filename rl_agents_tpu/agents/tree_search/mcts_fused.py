@@ -1,0 +1,193 @@
+"""Fused batched MCTS: explicit tree-batch axis, minimal sequential steps.
+
+Same algorithm as ``mcts_plan`` (reference: tree_search/mcts.py:100-305 — UCT
+selection, leaf expansion, random rollout, mean-return backup), restructured
+for TPU throughput. ``mcts_plan`` vmapped over trees runs ~25 sequential loop
+iterations per episode (descend-while + rollout-scan + backup-while), and each
+iteration is a separate tiny launch touching [B]-wide HBM arrays — a ~3-4 ms
+floor per plan-batch regardless of batch size. This version restructures the
+episode so the device runs ~H+2 sequential steps instead:
+
+* descend and rollout share ONE fixed H-step ``fori_loop``: each tree is
+  either in-tree (UCT action) or rolling out (random action), tracked by a
+  per-tree phase bit; every tree takes at most H env steps per episode either
+  way, so the fused loop does no extra work;
+* expansion happens inline at the step where a tree first reaches a leaf;
+  arena slots are per-episode (episode e expands into ``1 + e*A .. e*A + A``),
+  so the tree needs no ``used`` counter and the per-action priors become a
+  single static array;
+* the descent path is recorded as node ids ([H+1] per tree), and the backup
+  becomes ONE gather + scatter-add pass over the whole path instead of a
+  parent-walking while_loop (path nodes are distinct, so the mean-value
+  update for all of them commutes);
+* child pointers are a single ``first_child[N, B]`` array (children of a node
+  are consecutive slots), A× less tree memory traffic than children[N, A, B].
+
+Node-major [N, B] layouts keep per-step gathers/scatters contiguous along the
+batch (lane) axis. RNG uses one key per step: batched ``categorical`` over
+[A, B] logits draws independently per tree, so per-tree key chains (and their
+per-step split traffic) are unnecessary; agreement with ``mcts_plan`` is
+statistical, not bitwise.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rl_agents_tpu.agents.tree_search.mcts import MCTSTree
+
+
+class _Arena(NamedTuple):
+    first_child: Any  # [N, B] i32, -1 when leaf
+    count: Any        # [N, B] f32 visit counts
+    value: Any        # [N, B] f32 mean returns
+    expansions: Any   # [B] i32 (for the compat `used` counter)
+
+
+@partial(jax.jit, static_argnames=("env", "num_actions", "episodes", "horizon"))
+def mcts_plan_batch_fused(env, params, states0, keys, prior_probs, rollout_probs,
+                          num_actions: int, episodes: int, horizon: int,
+                          gamma: float, temperature: float):
+    """Plan for B independent trees; returns (actions [B, H], lengths [B], tree).
+
+    The returned tree is a batch-leading ``MCTSTree`` view of the arena
+    (children rebuilt from first_child; slots are episode-indexed rather than
+    allocation-ordered, which only changes internal node numbering).
+    """
+    A, H = num_actions, horizon
+    flat0 = jax.tree.leaves(states0)
+    B = flat0[0].shape[0]
+    N = 1 + episodes * A
+    gammaf = jnp.float32(gamma)
+    batch_iota = jnp.arange(B, dtype=jnp.int32)
+    # per-action UCT bonus numerator: temperature * |children| * prior(a)
+    # (reference mcts.py:275-286; expansion always creates all A children)
+    bonus = (temperature * A * prior_probs).astype(jnp.float32)[:, None]  # [A,1]
+    rollout_logits = jnp.broadcast_to(
+        jnp.log(rollout_probs)[:, None], (A, B)).astype(jnp.float32)
+
+    step_env = jax.vmap(env.transition, in_axes=(None, 0, 0, 0))
+    master = keys[0]
+
+    def episode_fn(ep, carry):
+        arena, key = carry
+        kep = jax.random.fold_in(key, ep)
+        base = 1 + ep * A  # this episode's expansion slots
+
+        def fused_step(h, c):
+            arena, state, node, in_tree, terminal, total, visited, weights = c
+            kh = jax.random.fold_in(kep, h)
+            ka, ks = jax.random.split(kh)
+
+            fc = arena.first_child[node, batch_iota]           # [B]
+            has_children = fc >= 0
+
+            # -- inline expansion at first leaf (reference mcts.py:151-154) --
+            do_expand = in_tree & ~has_children                 # in_tree ⇒ ~terminal
+            arena = arena._replace(
+                first_child=arena.first_child.at[node, batch_iota].set(
+                    jnp.where(do_expand, base, fc)),
+                expansions=arena.expansions + do_expand.astype(jnp.int32))
+
+            # -- action: UCT while descending, rollout policy otherwise ------
+            child_ids = jnp.where(has_children, fc, 0)[None, :] \
+                + jnp.arange(A, dtype=jnp.int32)[:, None]       # [A, B]
+            cvals = arena.value[child_ids, batch_iota[None, :]]
+            ccnts = arena.count[child_ids, batch_iota[None, :]]
+            scores = cvals + bonus / (ccnts + 1.0)
+            m = jnp.max(scores, axis=0)
+            tie_logits = jnp.where(scores == m[None, :], 0.0, -jnp.inf)
+            act_uct = jax.random.categorical(ka, tie_logits, axis=0)
+            act_roll = jax.random.categorical(ka, rollout_logits, axis=0)
+            descending = in_tree & has_children
+            action = jnp.where(descending, act_uct, act_roll).astype(jnp.int32)
+
+            # -- env step (masked once terminal) -----------------------------
+            live = ~terminal
+            out = step_env(params, state, action, jax.random.split(ks, B))
+            total = total + jnp.where(live, gammaf ** h * out.reward, 0.0)
+            state = jax.tree.map(
+                lambda old, new: jnp.where(
+                    live.reshape((B,) + (1,) * (new.ndim - 1)), new, old),
+                state, out.state)
+            terminal = terminal | (live & out.terminated)
+
+            # -- tree position + path record ---------------------------------
+            child = fc + action
+            node = jnp.where(descending, child, node)
+            visited = visited.at[h + 1].set(node)
+            weights = weights.at[h + 1].set(descending.astype(jnp.float32))
+            in_tree = descending & ~terminal
+            return arena, state, node, in_tree, terminal, total, visited, weights
+
+        visited0 = jnp.zeros((H + 1, B), jnp.int32)
+        weights0 = jnp.zeros((H + 1, B)).at[0].set(1.0)  # root always on path
+        arena, _, _, _, _, total, visited, weights = jax.lax.fori_loop(
+            0, H, fused_step,
+            (arena, states0, jnp.zeros((B,), jnp.int32),
+             jnp.ones((B,), bool), jnp.zeros((B,), bool), jnp.zeros((B,)),
+             visited0, weights0))
+
+        # -- backup: one pass over the recorded path (reference mcts.py:248-265)
+        # path nodes are distinct within a tree, so the per-node running-mean
+        # updates commute and can be applied in a single gather/scatter pair.
+        bcols = jnp.broadcast_to(batch_iota[None, :], (H + 1, B))
+        count = arena.count.at[visited, bcols].add(weights)
+        cnt_new = count[visited, bcols]
+        val_old = arena.value[visited, bcols]
+        delta = weights * (total[None, :] - val_old) / jnp.maximum(cnt_new, 1.0)
+        value = arena.value.at[visited, bcols].add(delta)
+        return arena._replace(count=count, value=value), key
+
+    arena = _Arena(
+        first_child=jnp.full((N, B), -1, jnp.int32),
+        count=jnp.zeros((N, B)),
+        value=jnp.zeros((N, B)),
+        expansions=jnp.zeros((B,), jnp.int32),
+    )
+    arena, _ = jax.lax.fori_loop(0, episodes, episode_fn, (arena, master))
+
+    # -- plan extraction (reference mcts.py:212-218): max count, ties by value
+    def plan_body(c, _):
+        node, live = c
+        fc = arena.first_child[node, batch_iota]
+        valid = fc >= 0
+        child_ids = jnp.where(valid, fc, 0)[None, :] \
+            + jnp.arange(A, dtype=jnp.int32)[:, None]
+        counts = jnp.where(valid[None, :], arena.count[child_ids, batch_iota[None, :]], -1.0)
+        best = jnp.max(counts, axis=0)
+        vals = jnp.where(counts == best[None, :],
+                         arena.value[child_ids, batch_iota[None, :]], -jnp.inf)
+        action = jnp.argmax(vals, axis=0).astype(jnp.int32)
+        emit = live & valid
+        node = jnp.where(emit, fc + action, node)
+        return (node, emit), jnp.where(emit, action, -1)
+
+    (_, _), actions = jax.lax.scan(
+        plan_body, (jnp.zeros((B,), jnp.int32), jnp.ones((B,), bool)),
+        None, length=H)
+    actions = actions.T  # [B, H]
+    lengths = jnp.sum(actions >= 0, axis=1)
+
+    # -- compat MCTSTree view (batch-leading) ---------------------------------
+    fc_t = arena.first_child.T  # [B, N]
+    children = jnp.where(
+        (fc_t >= 0)[:, :, None],
+        fc_t[:, :, None] + jnp.arange(A, dtype=jnp.int32)[None, None, :], -1)
+    # parent of slot 1+e*A+a is whichever node points at base 1+e*A
+    slot_base = 1 + ((jnp.arange(N) - 1) // A) * A  # [N]
+    parent = jnp.argmax(fc_t[:, :, None] == slot_base[None, None, :], axis=1)
+    parent = jnp.where(
+        jnp.any(fc_t[:, :, None] == slot_base[None, None, :], axis=1)
+        & (jnp.arange(N) > 0)[None, :], parent, -1).astype(jnp.int32)
+    prior = jnp.broadcast_to(
+        jnp.concatenate([jnp.ones((1,)),
+                         jnp.tile(prior_probs.astype(jnp.float32), episodes)]),
+        (B, N))
+    tree = MCTSTree(parent=parent, children=children,
+                    count=arena.count.T.astype(jnp.int32), value=arena.value.T,
+                    prior=prior, used=1 + A * arena.expansions)
+    return actions, lengths, tree

@@ -1,10 +1,13 @@
-"""Lane-parallel MCTS as a single Pallas TPU kernel.
+"""Lane-parallel MCTS as a single Pallas TPU kernel (experimental).
 
-The jitted ``mcts_plan_batch`` is launch-latency-bound: ~600 sequential XLA
-ops per plan (23 episodes x ~25 loop steps) put a ~3 ms floor under every
-plan-batch regardless of batch size (STATUS.md perf analysis). This kernel
-fuses the ENTIRE search — all episodes, descents, rollouts and backups — into
-one launch, with the tree arenas resident in VMEM:
+NOTE: superseded for throughput by the fused XLA planner
+(``agents/tree_search/mcts_fused.py``) — TPUs execute jitted programs fully
+on-device, so there is no per-op launch floor to fuse away, and a Pallas
+full-search kernel runs its 128-lane blocks sequentially on the TensorCore
+while paying O(N) one-hot reductions per tree read. Kept as an
+interpret-mode-validated exploration of VMEM-resident tree search. This
+kernel fuses the ENTIRE search — all episodes, descents, rollouts and
+backups — into one launch, with the tree arenas resident in VMEM:
 
 * grid over blocks of LANES=128 trees; each block's tree arrays are shaped
   [nodes, 128] with the *tree index on the lane axis*, so every per-tree
