@@ -84,15 +84,20 @@ class AbstractTreeSearchAgent(AbstractAgent):
         return actions
 
     def step(self, actions):
-        """Receding-horizon counter (reference: abstract.py:70-82). Array
-        planners rebuild the tree on replan, so 'subtree' reuse degrades to
-        replanning (the entire plan costs one device program here)."""
+        """Receding-horizon counter (reference: abstract.py:70-82)."""
         replanning_required = self.remaining_horizon == 0 or len(actions) <= 1
         if replanning_required:
             self.remaining_horizon = self.config["receding_horizon"] - 1
         else:
             self.remaining_horizon -= 1
+        self.planner_step_tree(actions)
         return replanning_required
+
+    def planner_step_tree(self, actions):
+        """Tree-reuse hook (reference: abstract.py:172-206 step_tree).
+        Default: no carried state, i.e. 'reset'. Planners with arena re-rooting
+        (OPD) override for step_strategy == 'subtree'; others degrade to
+        replanning (the entire plan costs one device program here)."""
 
     def act(self, state):
         actions = self.plan(state)

@@ -159,6 +159,17 @@ def _greedy_plan(tree: OPDTree, key, plan_capacity: int):
     return actions, length
 
 
+def _expansion_rounds(env, params, tree, expansions, gamma, terminal_reward, num_actions):
+    def round_fn(_, tree):
+        scores = jnp.where(tree.leaf, tree.value_upper, -jnp.inf)
+        leaf_idx = jnp.argmax(scores)  # first max == earliest-created leaf,
+        # matching the reference's insertion-ordered max() tie-break
+        tree = _expand(env, params, tree, leaf_idx, gamma, terminal_reward, num_actions)
+        return _backup_to_root(tree, leaf_idx)
+
+    return jax.lax.fori_loop(0, expansions, round_fn, tree)
+
+
 @partial(jax.jit, static_argnames=("env", "num_actions", "expansions", "plan_capacity"))
 def opd_plan(env: FunctionalEnv, params, state0, key, num_actions: int, expansions: int,
              gamma: float, terminal_reward: float = 0.0, plan_capacity: int = 32):
@@ -168,17 +179,135 @@ def opd_plan(env: FunctionalEnv, params, state0, key, num_actions: int, expansio
     tree = _init_tree(env, state0, capacity, num_actions)
     gamma = jnp.float32(gamma)
     terminal_reward = jnp.float32(terminal_reward)
-
-    def round_fn(_, tree):
-        scores = jnp.where(tree.leaf, tree.value_upper, -jnp.inf)
-        leaf_idx = jnp.argmax(scores)  # first max == earliest-created leaf,
-        # matching the reference's insertion-ordered max() tie-break
-        tree = _expand(env, params, tree, leaf_idx, gamma, terminal_reward, num_actions)
-        return _backup_to_root(tree, leaf_idx)
-
-    tree = jax.lax.fori_loop(0, expansions, round_fn, tree)
+    tree = _expansion_rounds(env, params, tree, expansions, gamma, terminal_reward, num_actions)
     actions, length = _greedy_plan(tree, key, plan_capacity)
     return actions, length, tree
+
+
+@partial(jax.jit, static_argnames=("env", "num_actions", "expansions", "plan_capacity"))
+def opd_plan_continue(env: FunctionalEnv, params, tree: OPDTree, state0, key,
+                      num_actions: int, expansions: int, gamma: float,
+                      terminal_reward: float = 0.0, plan_capacity: int = 32):
+    """Continue planning in a carried (re-rooted) arena: ``expansions`` more
+    rounds, exactly the reference's ``plan`` on a stepped tree
+    (deterministic.py:116-122 after step_by_subtree). The arena must have
+    spare capacity >= expansions * num_actions. The root state is refreshed
+    from the current env (deterministic.py:117 ``self.root.state = state``)."""
+    gamma = jnp.float32(gamma)
+    terminal_reward = jnp.float32(terminal_reward)
+    tree = tree._replace(states=jax.tree.map(
+        lambda arena, x: arena.at[0].set(x), tree.states, state0))
+    tree = _expansion_rounds(env, params, tree, expansions, gamma, terminal_reward, num_actions)
+    actions, length = _greedy_plan(tree, key, plan_capacity)
+    return actions, length, tree
+
+
+@partial(jax.jit, static_argnames=("num_actions", "out_capacity", "backup_sweeps"))
+def opd_step_subtree(tree: OPDTree, action, gamma: float, num_actions: int,
+                     out_capacity: int, backup_sweeps: int = 64):
+    """Re-root the arena at the root's child for ``action``
+    (reference: abstract.py:194-206 step_by_subtree + deterministic.py:124-132).
+
+    The reference moves a root pointer and rescales every leaf's bounds by
+    (v - r0) / gamma, then re-backs-up. Here the subtree is *compacted* into a
+    fresh arena with a stable gather: membership is computed by pointer
+    doubling over parent links, and because parents always precede children in
+    creation order, sibling blocks (the A children written by one expansion)
+    are contiguous and uniform under the mask — so truncating at a block
+    boundary when the subtree exceeds ``out_capacity`` keeps the tree
+    well-formed. Truncation has no reference analog (its trees grow without
+    bound); nodes re-leafed by truncation get their optimistic leaf bound
+    restored, and a bounded bottom-up sweep recomputes interior bounds.
+
+    Returns ``(new_tree, valid)``; ``valid=False`` means the action was never
+    explored and the caller must plan from scratch (abstract.py:203-206).
+    """
+    N = tree.parent.shape[0]
+    A = num_actions
+    gamma = jnp.float32(gamma)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    alive = idx < tree.used
+
+    new_root = tree.children[0, action]
+    valid = new_root >= 0
+
+    # Subtree membership via pointer doubling over parent links.
+    mask = (idx == new_root) & alive
+    jump = jnp.where(tree.parent >= 0, tree.parent, idx)
+    rounds = max(int(N).bit_length(), 1)
+    def double(_, carry):
+        mask, jump = carry
+        return mask | mask[jump], jump[jump]
+    mask, _ = jax.lax.fori_loop(0, rounds, double, (mask, jump))
+    mask = mask & alive
+
+    # Stable compaction with block-aligned truncation.
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    size = jnp.sum(mask.astype(jnp.int32))
+    cutoff = 1 + (jnp.minimum(size, out_capacity) - 1) // A * A
+    kept = mask & (rank < cutoff)
+    new_id = jnp.where(kept, rank, -1)
+    old_of_new = jnp.nonzero(kept, size=out_capacity, fill_value=0)[0]
+    used = jnp.sum(kept.astype(jnp.int32))
+    slot = jnp.arange(out_capacity, dtype=jnp.int32) < used
+
+    def take(x, fill):
+        return jnp.where(slot if x.ndim == 1 else slot[:, None], x[old_of_new], fill)
+
+    parent = take(new_id[jnp.maximum(tree.parent, 0)], -1)
+    parent = parent.at[0].set(-1)  # the new root
+    children = take(jnp.where(tree.children >= 0, new_id[jnp.maximum(tree.children, 0)], -1), -1)
+    depth = take(tree.depth - 1, 0)
+    reward = take(tree.reward, 0.0)
+    done = take(tree.done, False)
+    count = take(tree.count, 0)
+    act = take(tree.action, -1)
+
+    # Bound rescale (deterministic.py:129-131): v' = (v - r0) / gamma.
+    r0 = tree.reward[new_root]
+    vl = take((tree.value_lower - r0) / gamma, 0.0)
+    vu = take((tree.value_upper - r0) / gamma, 0.0)
+
+    was_leaf = take(tree.leaf, False)
+    is_leaf = jnp.all(children < 0, axis=1) & slot
+    # Nodes re-leafed by truncation: restore the optimistic leaf bound.
+    d = depth.astype(jnp.float32)
+    optimistic = vl + gamma ** d / (1 - gamma) * (~done).astype(jnp.float32)
+    vu = jnp.where(is_leaf & ~was_leaf, jnp.where(done, vl, optimistic), vu)
+
+    # Bottom-up interior recompute: repeated vectorized max-over-children
+    # passes converge in <= max depth sweeps (bounds move only upward here).
+    cvalid = children >= 0
+    cidx = jnp.maximum(children, 0)
+    def sweep(_, carry):
+        vl, vu = carry
+        cl = jnp.max(jnp.where(cvalid, vl[cidx], -jnp.inf), axis=1)
+        cu = jnp.max(jnp.where(cvalid, vu[cidx], -jnp.inf), axis=1)
+        interior = ~is_leaf & slot
+        return jnp.where(interior, cl, vl), jnp.where(interior, cu, vu)
+    vl, vu = jax.lax.fori_loop(0, backup_sweeps, sweep, (vl, vu))
+
+    states = jax.tree.map(lambda x: x[old_of_new], tree.states)
+    new_tree = OPDTree(parent=parent, action=act, depth=depth, children=children,
+                       reward=reward, done=done, value_lower=vl, value_upper=vu,
+                       leaf=is_leaf, count=count, used=used, states=states)
+    return new_tree, valid
+
+
+def opd_grow_arena(tree: OPDTree, extra: int) -> OPDTree:
+    """Pad every arena array with ``extra`` unallocated slots so a carried
+    tree can absorb the next plan's expansions."""
+    def pad(x, fill):
+        pad_block = jnp.full((extra,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, pad_block], axis=0)
+    states = jax.tree.map(lambda x: pad(x, 0), tree.states)
+    return OPDTree(
+        parent=pad(tree.parent, -1), action=pad(tree.action, -1),
+        depth=pad(tree.depth, 0), children=pad(tree.children, -1),
+        reward=pad(tree.reward, 0), done=pad(tree.done, False),
+        value_lower=pad(tree.value_lower, 0), value_upper=pad(tree.value_upper, 0),
+        leaf=pad(tree.leaf, False), count=pad(tree.count, 0),
+        used=tree.used, states=states)
 
 
 def opd_plan_batch(env: FunctionalEnv, params, states0, keys, num_actions: int,
@@ -191,27 +320,60 @@ def opd_plan_batch(env: FunctionalEnv, params, states0, keys, num_actions: int,
 
 
 class DeterministicPlannerAgent(AbstractTreeSearchAgent):
-    """OPD agent (reference: deterministic.py:135-139)."""
+    """OPD agent (reference: deterministic.py:135-139). Supports
+    ``step_strategy: subtree`` natively: the node arena is re-rooted with
+    ``opd_step_subtree`` between env steps and the next plan continues in the
+    carried tree (reference: deterministic.py:124-132)."""
 
     @classmethod
     def default_config(cls):
         config = super().default_config()
-        config.update({"budget": 100})
+        config.update({"budget": 100, "subtree_carry": None})
         return config
 
     def make_planner(self):
-        pass  # the planner is the jitted opd_plan program, built per call signature
+        self.carried_tree = None  # arena carried across steps (subtree strategy)
+
+    def _sizes(self, num_actions):
+        expansions = max(int(self.config["budget"]) // num_actions, 1)
+        carry = self.config.get("subtree_carry") or expansions * num_actions
+        return expansions, int(carry)
 
     def planner_plan(self, env, observation):
         functional = env.functional
         num_actions = functional.action_space.n
-        expansions = max(int(self.config["budget"]) // num_actions, 1)
-        actions, length, tree = opd_plan(
-            functional, env.params, env.state, self.next_key(),
-            num_actions=num_actions, expansions=expansions,
-            gamma=float(self.config["gamma"]),
-            terminal_reward=float(self.config["terminal_reward"]),
-            plan_capacity=min(max(expansions, 1), 64),
-        )
+        expansions, _ = self._sizes(num_actions)
+        kwargs = dict(num_actions=num_actions, expansions=expansions,
+                      gamma=float(self.config["gamma"]),
+                      terminal_reward=float(self.config["terminal_reward"]),
+                      plan_capacity=min(max(expansions, 1), 64))
+        if self.carried_tree is not None:
+            actions, length, tree = opd_plan_continue(
+                functional, env.params, self.carried_tree, env.state,
+                self.next_key(), **kwargs)
+        else:
+            actions, length, tree = opd_plan(
+                functional, env.params, env.state, self.next_key(), **kwargs)
         self.last_plan_data = tree
         return self.get_plan_list(actions, length)
+
+    def planner_step_tree(self, actions):
+        if self.config["step_strategy"] != "subtree":
+            return
+        tree = self.last_plan_data
+        if tree is None or not actions:
+            self.carried_tree = None
+            return
+        num_actions = tree.children.shape[1]
+        expansions, carry = self._sizes(num_actions)
+        new_tree, valid = opd_step_subtree(
+            tree, int(actions[0]), float(self.config["gamma"]),
+            num_actions=num_actions, out_capacity=carry)
+        if bool(valid):
+            self.carried_tree = opd_grow_arena(new_tree, expansions * num_actions)
+        else:  # never-explored action: plan from scratch (abstract.py:203-206)
+            self.carried_tree = None
+
+    def reset(self):
+        super().reset()
+        self.carried_tree = None

@@ -122,3 +122,102 @@ def test_opd_reward_bound_check():
     out = env.functional.rollout(env.params, env.state,
                                  jnp.zeros(50, jnp.int32), jax.random.PRNGKey(0))
     assert float(out.reward.min()) >= 0 and float(out.reward.max()) <= 1
+
+
+def test_opd_step_subtree_parity():
+    """Re-rooting parity vs the reference's step_by_subtree + bound rescale
+    (reference: abstract.py:194-206, deterministic.py:124-132): same root
+    bounds, same subtree size, same multiset of in-subtree leaf bounds.
+    (Two reference quirks we deliberately do not replicate: it keeps *stale
+    out-of-subtree* leaves expandable, and its released step_by_subtree
+    actually crashes — deterministic.py:131 rescales ``value_upper_bound``,
+    an attribute that does not exist (the field is ``value_upper``). The test
+    therefore drives the documented intended semantics on the reference tree:
+    move the root pointer, rescale leaf bounds by (v - r0)/gamma, re-backup.)"""
+    from rl_agents_tpu.agents.tree_search.deterministic import opd_step_subtree
+
+    env = make_dynamics({})
+    env.reset(seed=0)
+    config = {"budget": 40, "gamma": 0.9, "step_strategy": "subtree", "terminal_reward": 0}
+    ref_actions, ref_planner = reference_opd_plan(env.fork(), config)
+    a0 = ref_actions[0]
+    ref_root = ref_planner.root.children[a0]
+    ref_root.parent = None
+    r0, gamma = ref_root.reward, config["gamma"]
+
+    def ref_subtree_leaves(node, acc):
+        if node.children:
+            for c in node.children.values():
+                ref_subtree_leaves(c, acc)
+        else:
+            node.value_lower = (node.value_lower - r0) / gamma
+            node.value_upper = (node.value_upper - r0) / gamma
+            acc.append((float(node.value_lower), float(node.value_upper)))
+        return acc
+
+    def ref_size(node):
+        return 1 + sum(ref_size(c) for c in node.children.values())
+
+    actions, length, tree = opd_plan(
+        env.functional, env.params, env.state, jax.random.PRNGKey(0),
+        num_actions=2, expansions=40 // 2, gamma=0.9, plan_capacity=32)
+    new_tree, valid = opd_step_subtree(tree, a0, 0.9, num_actions=2, out_capacity=64)
+    assert bool(valid)
+    used = int(new_tree.used)
+    assert used == ref_size(ref_root)
+    assert int(new_tree.depth[0]) == 0
+
+    refs = sorted(ref_subtree_leaves(ref_root, []))  # rescales ref leaves in place
+    ref_root.backup_values()
+    np.testing.assert_allclose(float(new_tree.value_lower[0]), ref_root.value_lower, rtol=1e-5)
+    np.testing.assert_allclose(float(new_tree.value_upper[0]), ref_root.value_upper, rtol=1e-5)
+
+    leaf_mask = np.asarray(new_tree.leaf)[:used]
+    ours = sorted(zip(np.asarray(new_tree.value_lower)[:used][leaf_mask].tolist(),
+                      np.asarray(new_tree.value_upper)[:used][leaf_mask].tolist()))
+    assert len(ours) == len(refs)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(refs), rtol=1e-5)
+
+
+def test_opd_step_subtree_unexplored_action():
+    from rl_agents_tpu.agents.tree_search.deterministic import opd_step_subtree
+
+    env = make_dynamics({})
+    env.reset(seed=0)
+    _, _, tree = opd_plan(env.functional, env.params, env.state, jax.random.PRNGKey(0),
+                          num_actions=2, expansions=1, gamma=0.9, plan_capacity=8)
+    # chop the root's children to simulate an unexplored action
+    tree = tree._replace(children=tree.children.at[0, 1].set(-1))
+    _, valid = opd_step_subtree(tree, 1, 0.9, num_actions=2, out_capacity=8)
+    assert not bool(valid)
+
+
+def test_opd_subtree_agent_e2e():
+    """Agent with step_strategy=subtree carries the arena between env steps and
+    keeps planning in it; with equal budget it must do at least as well as the
+    reset-strategy agent on a deterministic loop MDP (the carried tree only
+    adds information), and here it actually resolves the better action from
+    state 1 (a=2, 0.9-then-loop) that budget-30 replanning-from-scratch misses."""
+    env_a = make_mdp(dict(LOOP_CONFIG, max_episode_steps=50)); env_a.reset(seed=0)
+    env_b = make_mdp(dict(LOOP_CONFIG, max_episode_steps=50)); env_b.reset(seed=0)
+    sub = DeterministicPlannerAgent(env_a, {"budget": 30, "gamma": 0.8,
+                                            "step_strategy": "subtree"})
+    rst = DeterministicPlannerAgent(env_b, {"budget": 30, "gamma": 0.8})
+    sub.seed(0); rst.seed(0)
+    obs = np.zeros(1)
+    ret_sub = ret_rst = 0.0
+    for t in range(5):
+        a_sub = sub.act(obs)
+        a_rst = rst.act(obs)
+        if t == 0:
+            assert a_sub == a_rst == 1  # identical first plan (no carry yet)
+        _, r_a, *_ = env_a.step(a_sub)
+        _, r_b, *_ = env_b.step(a_rst)
+        ret_sub += 0.8 ** t * float(r_a)
+        ret_rst += 0.8 ** t * float(r_b)
+    assert ret_sub >= ret_rst - 1e-6
+    assert sub.carried_tree is not None
+    # the carried arena really is reused: it holds nodes from previous plans
+    assert int(sub.carried_tree.used) > 1
+    sub.reset()
+    assert sub.carried_tree is None
