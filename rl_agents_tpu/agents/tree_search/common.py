@@ -16,6 +16,7 @@ import logging
 from typing import List
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from rl_agents_tpu.agents.base import AbstractAgent
@@ -36,6 +37,51 @@ def allocation(budget: int, gamma: float):
             episodes = max(episodes - 1, 1)
             return episodes, olop_horizon(episodes, gamma)
     raise ValueError(f"Could not split budget {budget} with gamma {gamma}")
+
+
+def arena_subtree_gather(parent, children, used, action, out_capacity: int):
+    """Compute the stable-gather compaction of the subtree rooted at the
+    root's child for ``action`` in a node arena (the array analog of the
+    reference's step_by_subtree root-pointer move, abstract.py:194-206).
+
+    Subtree membership is found by pointer doubling over parent links. Because
+    parents always precede children in creation order, sibling blocks (the A
+    children written by one expansion) are contiguous and uniform under the
+    mask, so truncating at a block boundary when the subtree exceeds
+    ``out_capacity`` keeps the tree well-formed.
+
+    Returns ``(old_of_new, new_id, new_used, slot, valid)``:
+    ``old_of_new [M]`` gathers old arena rows into the new arena,
+    ``new_id [N]`` maps old ids to new ids (-1 if dropped),
+    ``slot [M]`` marks allocated rows, ``valid`` is False when the action was
+    never explored from the root.
+    """
+    N, A = children.shape
+    idx = jnp.arange(N, dtype=jnp.int32)
+    alive = idx < used
+    new_root = children[0, action]
+    valid = new_root >= 0
+
+    mask = (idx == new_root) & alive
+    jump = jnp.where(parent >= 0, parent, idx)
+    rounds = max(int(N).bit_length(), 1)
+
+    def double(_, carry):
+        mask, jump = carry
+        return mask | mask[jump], jump[jump]
+
+    mask, _ = jax.lax.fori_loop(0, rounds, double, (mask, jump))
+    mask = mask & alive
+
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    size = jnp.sum(mask.astype(jnp.int32))
+    cutoff = 1 + (jnp.minimum(size, out_capacity) - 1) // A * A
+    kept = mask & (rank < cutoff)
+    new_id = jnp.where(kept, rank, -1)
+    old_of_new = jnp.nonzero(kept, size=out_capacity, fill_value=0)[0]
+    new_used = jnp.sum(kept.astype(jnp.int32))
+    slot = jnp.arange(out_capacity, dtype=jnp.int32) < new_used
+    return old_of_new, new_id, new_used, slot, valid
 
 
 class AbstractTreeSearchAgent(AbstractAgent):

@@ -21,7 +21,10 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from rl_agents_tpu.agents.tree_search.common import AbstractTreeSearchAgent
+from rl_agents_tpu.agents.tree_search.common import (
+    AbstractTreeSearchAgent,
+    arena_subtree_gather,
+)
 from rl_agents_tpu.envs.base import FunctionalEnv
 
 
@@ -210,46 +213,19 @@ def opd_step_subtree(tree: OPDTree, action, gamma: float, num_actions: int,
 
     The reference moves a root pointer and rescales every leaf's bounds by
     (v - r0) / gamma, then re-backs-up. Here the subtree is *compacted* into a
-    fresh arena with a stable gather: membership is computed by pointer
-    doubling over parent links, and because parents always precede children in
-    creation order, sibling blocks (the A children written by one expansion)
-    are contiguous and uniform under the mask — so truncating at a block
-    boundary when the subtree exceeds ``out_capacity`` keeps the tree
-    well-formed. Truncation has no reference analog (its trees grow without
-    bound); nodes re-leafed by truncation get their optimistic leaf bound
-    restored, and a bounded bottom-up sweep recomputes interior bounds.
+    fresh arena with a stable gather (see ``arena_subtree_gather``).
+    Truncation has no reference analog (its trees grow without bound); nodes
+    re-leafed by truncation get their optimistic leaf bound restored, and a
+    bounded bottom-up sweep recomputes interior bounds.
 
     Returns ``(new_tree, valid)``; ``valid=False`` means the action was never
     explored and the caller must plan from scratch (abstract.py:203-206).
     """
-    N = tree.parent.shape[0]
     A = num_actions
     gamma = jnp.float32(gamma)
-    idx = jnp.arange(N, dtype=jnp.int32)
-    alive = idx < tree.used
-
     new_root = tree.children[0, action]
-    valid = new_root >= 0
-
-    # Subtree membership via pointer doubling over parent links.
-    mask = (idx == new_root) & alive
-    jump = jnp.where(tree.parent >= 0, tree.parent, idx)
-    rounds = max(int(N).bit_length(), 1)
-    def double(_, carry):
-        mask, jump = carry
-        return mask | mask[jump], jump[jump]
-    mask, _ = jax.lax.fori_loop(0, rounds, double, (mask, jump))
-    mask = mask & alive
-
-    # Stable compaction with block-aligned truncation.
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    size = jnp.sum(mask.astype(jnp.int32))
-    cutoff = 1 + (jnp.minimum(size, out_capacity) - 1) // A * A
-    kept = mask & (rank < cutoff)
-    new_id = jnp.where(kept, rank, -1)
-    old_of_new = jnp.nonzero(kept, size=out_capacity, fill_value=0)[0]
-    used = jnp.sum(kept.astype(jnp.int32))
-    slot = jnp.arange(out_capacity, dtype=jnp.int32) < used
+    old_of_new, new_id, used, slot, valid = arena_subtree_gather(
+        tree.parent, tree.children, tree.used, action, out_capacity)
 
     def take(x, fill):
         return jnp.where(slot if x.ndim == 1 else slot[:, None], x[old_of_new], fill)

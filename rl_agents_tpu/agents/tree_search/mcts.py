@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rl_agents_tpu.agents.tree_search.common import AbstractTreeSearchAgent, allocation
+from rl_agents_tpu.agents.tree_search.common import (
+    AbstractTreeSearchAgent,
+    allocation,
+    arena_subtree_gather,
+)
 from rl_agents_tpu.envs.base import FunctionalEnv
 
 
@@ -57,15 +61,9 @@ def _masked_random_argmax(key, scores, mask):
     return jax.random.categorical(key, jnp.where(ties, 0.0, -jnp.inf))
 
 
-@partial(jax.jit, static_argnames=("env", "num_actions", "episodes", "horizon"))
-def mcts_plan(env: FunctionalEnv, params, state0, key, prior_probs, rollout_probs,
-              num_actions: int, episodes: int, horizon: int, gamma: float,
-              temperature: float):
-    """Full MCTS plan as one device program."""
-    A = num_actions
-    N = 1 + episodes * A
-    gamma = jnp.float32(gamma)
-    tree = MCTSTree(
+def _init_mcts_tree(capacity: int, num_actions: int) -> MCTSTree:
+    N, A = capacity, num_actions
+    return MCTSTree(
         parent=jnp.full((N,), -1, jnp.int32),
         children=jnp.full((N, A), -1, jnp.int32),
         count=jnp.zeros((N,), jnp.int32),
@@ -73,6 +71,13 @@ def mcts_plan(env: FunctionalEnv, params, state0, key, prior_probs, rollout_prob
         prior=jnp.ones((N,), jnp.float32),
         used=jnp.ones((), jnp.int32),
     )
+
+
+def _mcts_episodes(env, params, tree, state0, key, prior_probs, rollout_probs,
+                   num_actions, episodes, horizon, gamma, temperature):
+    """The MCTS episode loop (descend/expand/rollout/backup) on a given arena."""
+    A = num_actions
+    gamma = jnp.float32(gamma)
 
     def episode_fn(_, carry):
         tree, key = carry
@@ -148,7 +153,10 @@ def mcts_plan(env: FunctionalEnv, params, state0, key, prior_probs, rollout_prob
         return tree._replace(count=count, value=value), key
 
     tree, key = jax.lax.fori_loop(0, episodes, episode_fn, (tree, key))
+    return tree
 
+
+def _extract_plan(tree: MCTSTree, horizon: int):
     # ---- plan extraction (reference: mcts.py:212-218 selection_rule) ----
     # best visit count, ties broken by value
     def plan_body(carry, _):
@@ -167,7 +175,84 @@ def mcts_plan(env: FunctionalEnv, params, state0, key, prior_probs, rollout_prob
     (_, _), actions = jax.lax.scan(
         plan_body, (jnp.zeros((), jnp.int32), jnp.asarray(True)), None, length=horizon)
     length = jnp.sum(actions >= 0)
+    return actions, length
+
+
+@partial(jax.jit, static_argnames=("env", "num_actions", "episodes", "horizon"))
+def mcts_plan(env: FunctionalEnv, params, state0, key, prior_probs, rollout_probs,
+              num_actions: int, episodes: int, horizon: int, gamma: float,
+              temperature: float):
+    """Full MCTS plan as one device program."""
+    tree = _init_mcts_tree(1 + episodes * num_actions, num_actions)
+    tree = _mcts_episodes(env, params, tree, state0, key, prior_probs, rollout_probs,
+                          num_actions, episodes, horizon, gamma, temperature)
+    actions, length = _extract_plan(tree, horizon)
     return actions, length, tree
+
+
+@partial(jax.jit, static_argnames=("env", "num_actions", "episodes", "horizon"))
+def mcts_plan_continue(env: FunctionalEnv, params, tree: MCTSTree, state0, key,
+                       prior_probs, rollout_probs, num_actions: int, episodes: int,
+                       horizon: int, gamma: float, temperature: float):
+    """Continue MCTS in a carried (re-rooted) arena — the reference's plan()
+    after step_by_prior (mcts.py:179-200): episodes descend from the *current*
+    env state through the carried statistics. The arena must have spare
+    capacity >= episodes * num_actions."""
+    tree = _mcts_episodes(env, params, tree, state0, key, prior_probs, rollout_probs,
+                          num_actions, episodes, horizon, gamma, temperature)
+    actions, length = _extract_plan(tree, horizon)
+    return actions, length, tree
+
+
+@partial(jax.jit, static_argnames=("num_actions", "out_capacity"))
+def mcts_step_by_prior(tree: MCTSTree, action, num_actions: int, out_capacity: int,
+                       regularization: float = 0.5):
+    """Re-root the arena at the chosen child and convert visit counts to
+    priors (reference: mcts.py:192-200 step_by_prior +
+    convert_visits_to_prior_in_branch, mcts.py:288-301): for every node in the
+    carried subtree, ``prior = (1-reg)*(count+1)/sum(count+1) + reg/|children|``
+    over its sibling block, then all counts reset to zero; values are kept.
+
+    Returns ``(new_tree, valid)``; ``valid=False`` when the action was never
+    explored from the root.
+    """
+    old_of_new, new_id, used, slot, valid = arena_subtree_gather(
+        tree.parent, tree.children, tree.used, action, out_capacity)
+
+    def take(x, fill):
+        return jnp.where(slot if x.ndim == 1 else slot[:, None], x[old_of_new], fill)
+
+    parent = take(new_id[jnp.maximum(tree.parent, 0)], -1).at[0].set(-1)
+    children = take(jnp.where(tree.children >= 0,
+                              new_id[jnp.maximum(tree.children, 0)], -1), -1)
+    count = take(tree.count, 0)
+    value = take(tree.value, 0.0)
+    prior = take(tree.prior, 1.0)
+
+    # Visit counts -> priors, computed from each node's sibling block.
+    sib = children[jnp.maximum(parent, 0)]
+    sib_valid = sib >= 0
+    sib_counts = jnp.where(sib_valid, count[jnp.maximum(sib, 0)], 0)
+    total = jnp.sum(sib_counts + sib_valid.astype(jnp.int32), axis=1).astype(jnp.float32)
+    n_sib = jnp.sum(sib_valid, axis=1).astype(jnp.float32)
+    converted = ((1 - regularization) * (count + 1).astype(jnp.float32)
+                 / jnp.maximum(total, 1.0) + regularization / jnp.maximum(n_sib, 1.0))
+    prior = jnp.where((parent >= 0) & slot, converted, prior)
+    count = jnp.zeros_like(count)
+
+    return MCTSTree(parent=parent, children=children, count=count,
+                    value=value, prior=prior, used=used), valid
+
+
+def mcts_grow_arena(tree: MCTSTree, extra: int) -> MCTSTree:
+    """Pad the arena with ``extra`` unallocated slots for continued planning."""
+    def pad(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((extra,) + x.shape[1:], fill, x.dtype)], axis=0)
+
+    return MCTSTree(parent=pad(tree.parent, -1), children=pad(tree.children, -1),
+                    count=pad(tree.count, 0), value=pad(tree.value, 0),
+                    prior=pad(tree.prior, 1), used=tree.used)
 
 
 def mcts_plan_batch(env, params, states0, keys, prior_probs, rollout_probs,
@@ -192,7 +277,10 @@ def mcts_plan_batch_vmap(env, params, states0, keys, prior_probs, rollout_probs,
 
 
 class MCTSAgent(AbstractTreeSearchAgent):
-    """MCTS/UCT agent (reference: mcts.py:12-31)."""
+    """MCTS/UCT agent (reference: mcts.py:12-31). Supports
+    ``step_strategy: "prior"``: the arena is re-rooted between env steps with
+    visit counts converted to priors, and the next plan continues in the
+    carried tree (reference: mcts.py:186-200)."""
 
     @classmethod
     def default_config(cls):
@@ -205,10 +293,12 @@ class MCTSAgent(AbstractTreeSearchAgent):
             "rollout_policy": {"type": "random_available"},
             "temperature": None,
             "closed_loop": False,
+            "subtree_carry": None,
         })
         return config
 
     def make_planner(self):
+        self.carried_tree = None  # arena carried across steps ("prior" strategy)
         if not self.config.get("horizon"):
             self.config["episodes"], self.config["horizon"] = allocation(
                 self.config["budget"], self.config["gamma"])
@@ -238,11 +328,39 @@ class MCTSAgent(AbstractTreeSearchAgent):
                 width=int(self.config.get("max_next_states_count", 8)))
             self.last_plan_data = tree
             return [int(action)]
-        actions, length, tree = mcts_plan(
-            functional, env.params, env.state, self.next_key(),
-            self.prior_probs, self.rollout_probs,
-            num_actions=functional.action_space.n,
-            episodes=int(self.config["episodes"]), horizon=int(self.config["horizon"]),
-            gamma=float(self.config["gamma"]), temperature=float(self.config["temperature"]))
+        kwargs = dict(num_actions=functional.action_space.n,
+                      episodes=int(self.config["episodes"]),
+                      horizon=int(self.config["horizon"]),
+                      gamma=float(self.config["gamma"]),
+                      temperature=float(self.config["temperature"]))
+        if self.carried_tree is not None:
+            actions, length, tree = mcts_plan_continue(
+                functional, env.params, self.carried_tree, env.state,
+                self.next_key(), self.prior_probs, self.rollout_probs, **kwargs)
+        else:
+            actions, length, tree = mcts_plan(
+                functional, env.params, env.state, self.next_key(),
+                self.prior_probs, self.rollout_probs, **kwargs)
         self.last_plan_data = tree
         return self.get_plan_list(actions, length)
+
+    def planner_step_tree(self, actions):
+        if self.config["step_strategy"] != "prior" or self.config.get("closed_loop"):
+            return
+        tree = self.last_plan_data
+        if tree is None or not actions:
+            self.carried_tree = None
+            return
+        num_actions = tree.children.shape[1]
+        episodes = int(self.config["episodes"])
+        carry = int(self.config.get("subtree_carry") or episodes * num_actions)
+        new_tree, valid = mcts_step_by_prior(
+            tree, int(actions[0]), num_actions=num_actions, out_capacity=carry)
+        if bool(valid):
+            self.carried_tree = mcts_grow_arena(new_tree, episodes * num_actions)
+        else:  # never-explored action: plan from scratch (abstract.py:203-206)
+            self.carried_tree = None
+
+    def reset(self):
+        super().reset()
+        self.carried_tree = None
