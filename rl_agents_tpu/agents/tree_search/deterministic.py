@@ -162,6 +162,57 @@ def _greedy_plan(tree: OPDTree, key, plan_capacity: int):
     return actions, length
 
 
+def _greedy_plan_pcg64(tree: OPDTree, stream, inc, plan_capacity: int):
+    """Greedy descent with the reference's exact RNG: ties by equality
+    (Node.all_argmax, abstract.py:295-301) broken by ``np_random.choice``
+    (abstract.py:303-311) on a device PCG64 stream that reproduces numpy
+    bit-for-bit (utils/pcg64.py). A single-element choice consumes no draw
+    (numpy's rng==0 early-out), so draw consumption matches the reference's
+    get_plan descent (abstract.py:143-156) one-to-one."""
+    from rl_agents_tpu.utils.pcg64 import pcg64_choice
+
+    def body(carry, _):
+        node, stream, live = carry
+        ch = tree.children[node]
+        valid = ch >= 0
+        has_children = jnp.any(valid)
+        vals = jnp.where(valid, tree.value_lower[jnp.maximum(ch, 0)], -jnp.inf)
+        m = jnp.max(vals)
+        ties = valid & (vals == m)
+        k = jnp.sum(ties).astype(jnp.uint32)
+        emit = live & has_children
+        stream2, idx = pcg64_choice(stream, inc, jnp.where(emit, k, jnp.uint32(0)))
+        stream = jax.tree.map(lambda a, b: jnp.where(emit, a, b), stream2, stream)
+        pos = jnp.cumsum(ties.astype(jnp.int32)) - 1
+        action = jnp.argmax(ties & (pos == idx.astype(jnp.int32)))
+        next_node = jnp.where(emit, ch[action], node)
+        return (next_node, stream, emit), jnp.where(emit, action, -1)
+
+    (_, stream, _), actions = jax.lax.scan(
+        body, (jnp.zeros((), jnp.int32), stream, jnp.asarray(True)), None,
+        length=plan_capacity)
+    length = jnp.sum(actions >= 0)
+    return actions, length, stream
+
+
+@partial(jax.jit, static_argnames=("env", "num_actions", "expansions", "plan_capacity"))
+def opd_plan_parity(env: FunctionalEnv, params, state0, stream, inc, num_actions: int,
+                    expansions: int, gamma: float, terminal_reward: float = 0.0,
+                    plan_capacity: int = 32):
+    """opd_plan with reference-exact RNG: identical expansions (deterministic,
+    insertion-ordered leaf max) AND identical tie-broken plan extraction at a
+    fixed seed — bit-exact trajectories vs the reference (BASELINE.md north
+    star). ``stream, inc = pcg64_init(seed)`` mirrors the reference's
+    ``planner.seed(seed)`` (gymnasium np_random -> Generator(PCG64(seed)))."""
+    capacity = 1 + expansions * num_actions
+    tree = _init_tree(env, state0, capacity, num_actions)
+    gamma = jnp.float32(gamma)
+    terminal_reward = jnp.float32(terminal_reward)
+    tree = _expansion_rounds(env, params, tree, expansions, gamma, terminal_reward, num_actions)
+    actions, length, stream = _greedy_plan_pcg64(tree, stream, inc, plan_capacity)
+    return actions, length, tree, stream
+
+
 def _expansion_rounds(env, params, tree, expansions, gamma, terminal_reward, num_actions):
     def round_fn(_, tree):
         scores = jnp.where(tree.leaf, tree.value_upper, -jnp.inf)

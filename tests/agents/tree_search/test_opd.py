@@ -221,3 +221,59 @@ def test_opd_subtree_agent_e2e():
     assert int(sub.carried_tree.used) > 1
     sub.reset()
     assert sub.carried_tree is None
+
+
+def test_opd_bit_exact_parity_with_ties():
+    """The BASELINE.md north star: bit-exact planner trajectories at a fixed
+    seed INCLUDING random tie-breaking. The device PCG64 stream reproduces the
+    reference's np_random draws exactly (gymnasium seeding -> Generator(PCG64)),
+    so on a tie-rich symmetric MDP the full greedy plan matches the reference
+    action-for-action across seeds (reference: abstract.py:143-156 get_plan,
+    :295-311 random_argmax; deterministic.py:21-26 selection_rule).
+
+    gamma and rewards are dyadic (0.5, 1.0) so every bound value is exactly
+    representable in BOTH float32 (ours) and float64 (reference) — tie sets
+    are then mathematical, not rounding artifacts. (With non-dyadic gamma the
+    reference's expansion order itself depends on float64 rounding noise in
+    ``gamma ** depth``; that noise is explicitly out of the parity contract.)"""
+    from rl_agents_tpu.agents.tree_search.deterministic import opd_plan_parity
+    from rl_agents_tpu.utils.pcg64 import pcg64_init
+
+    tie_mdp = {
+        "mode": "deterministic",
+        # s0: a0/a1 tie (symmetric branches s1/s2); s1,s2: a1/a2 tie; s3 absorbing
+        "transition": [[1, 2, 0], [1, 3, 3], [2, 3, 3], [3, 3, 3]],
+        "reward": [[0.5, 0.5, 0.0], [1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0, 0, 0]],
+        "terminal": [0, 0, 0, 0],
+        "max_episode_steps": 100,
+    }
+    env = make_mdp(tie_mdp)
+    env.reset(seed=0)
+    budget = 60
+
+    for seed in (0, 1, 7, 42):
+        config = {"budget": budget, "gamma": 0.5, "step_strategy": "reset",
+                  "terminal_reward": 0}
+        sys.path.insert(0, "/root/reference")
+        if "numba" not in sys.modules:  # the image has no numba; stub @jit
+            import types
+
+            numba = types.ModuleType("numba")
+            numba.jit = lambda *a, **k: (lambda f: f)
+            sys.modules["numba"] = numba
+        from rl_agents.agents.tree_search.deterministic import (
+            OptimisticDeterministicPlanner,
+        )
+
+        handle = env.fork()
+        planner = OptimisticDeterministicPlanner(handle, config)
+        planner.seed(seed)
+        planner.step_by_reset()
+        ref_actions = [int(a) for a in planner.plan(state=handle, observation=None)]
+
+        stream, inc = pcg64_init(seed)
+        actions, length, tree, _ = opd_plan_parity(
+            env.functional, env.params, env.state, stream, inc,
+            num_actions=3, expansions=budget // 3, gamma=0.5, plan_capacity=32)
+        ours = [int(a) for a in np.asarray(actions)[:int(length)]]
+        assert ours == ref_actions, (seed, ours, ref_actions)
