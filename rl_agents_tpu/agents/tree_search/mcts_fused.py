@@ -47,10 +47,11 @@ class _Arena(NamedTuple):
     expansions: Any   # [B] i32 (for the compat `used` counter)
 
 
-@partial(jax.jit, static_argnames=("env", "num_actions", "episodes", "horizon"))
+@partial(jax.jit, static_argnames=("env", "num_actions", "episodes", "horizon",
+                                   "unroll"))
 def mcts_plan_batch_fused(env, params, states0, keys, prior_probs, rollout_probs,
                           num_actions: int, episodes: int, horizon: int,
-                          gamma: float, temperature: float):
+                          gamma: float, temperature: float, unroll: int = 1):
     """Plan for B independent trees; returns (actions [B, H], lengths [B], tree).
 
     The returned tree is a batch-leading ``MCTSTree`` view of the arena
@@ -71,7 +72,16 @@ def mcts_plan_batch_fused(env, params, states0, keys, prior_probs, rollout_probs
 
     step_env = jax.vmap(env.transition, in_axes=(None, 0, 0, 0))
     master = keys[0]
+    # deterministic envs ignore their key: skip the per-step B-way split
+    # (one threefry op per sequential hot-loop step)
+    zero_keys = None
+    if not env.transition_uses_key:
+        zero_keys = jnp.zeros((B, 2), jnp.uint32)
 
+    # (Measured and rejected: pre-generating all gumbel noise as an
+    # [episodes, H, 2, A, B] HBM table and slicing per step is ~45% SLOWER
+    # than in-loop threefry — on TPU the per-step 160 KB HBM read costs more
+    # than recomputing the noise in-register.)
     def episode_fn(ep, carry):
         arena, key = carry
         kep = jax.random.fold_in(key, ep)
@@ -79,8 +89,7 @@ def mcts_plan_batch_fused(env, params, states0, keys, prior_probs, rollout_probs
 
         def fused_step(h, c):
             arena, state, node, in_tree, terminal, total, visited, weights = c
-            kh = jax.random.fold_in(kep, h)
-            ka, ks = jax.random.split(kh)
+            ka = jax.random.fold_in(kep, h)
 
             fc = arena.first_child[node, batch_iota]           # [B]
             has_children = fc >= 0
@@ -100,14 +109,17 @@ def mcts_plan_batch_fused(env, params, states0, keys, prior_probs, rollout_probs
             scores = cvals + bonus / (ccnts + 1.0)
             m = jnp.max(scores, axis=0)
             tie_logits = jnp.where(scores == m[None, :], 0.0, -jnp.inf)
-            act_uct = jax.random.categorical(ka, tie_logits, axis=0)
-            act_roll = jax.random.categorical(ka, rollout_logits, axis=0)
+            g = jax.random.gumbel(ka, (2, A, B), jnp.float32)
+            act_uct = jnp.argmax(tie_logits + g[0], axis=0)
+            act_roll = jnp.argmax(rollout_logits + g[1], axis=0)
             descending = in_tree & has_children
             action = jnp.where(descending, act_uct, act_roll).astype(jnp.int32)
 
             # -- env step (masked once terminal) -----------------------------
             live = ~terminal
-            out = step_env(params, state, action, jax.random.split(ks, B))
+            step_keys = zero_keys if zero_keys is not None else \
+                jax.random.split(jax.random.fold_in(ka, 1), B)
+            out = step_env(params, state, action, step_keys)
             total = total + jnp.where(live, gammaf ** h * out.reward, 0.0)
             state = jax.tree.map(
                 lambda old, new: jnp.where(
@@ -126,7 +138,7 @@ def mcts_plan_batch_fused(env, params, states0, keys, prior_probs, rollout_probs
         visited0 = jnp.zeros((H + 1, B), jnp.int32)
         weights0 = jnp.zeros((H + 1, B)).at[0].set(1.0)  # root always on path
         arena, _, _, _, _, total, visited, weights = jax.lax.fori_loop(
-            0, H, fused_step,
+            0, H, fused_step, unroll=unroll, init_val=
             (arena, states0, jnp.zeros((B,), jnp.int32),
              jnp.ones((B,), bool), jnp.zeros((B,), bool), jnp.zeros((B,)),
              visited0, weights0))

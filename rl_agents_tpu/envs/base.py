@@ -95,6 +95,11 @@ class FunctionalEnv:
 
     spec: EnvSpec = EnvSpec("functional-env")
 
+    # True when ``transition`` consumes its PRNG key. Deterministic envs set
+    # this False so batched planners can skip per-step key splitting (one
+    # threefry op per sequential step on the hot path).
+    transition_uses_key: bool = True
+
     def default_params(self):
         raise NotImplementedError
 

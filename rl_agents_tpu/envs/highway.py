@@ -145,6 +145,8 @@ class HighwayEnv(FunctionalEnv):
         out = self.transition(params, state, action, key)
         return out._replace(obs=self.observe(params, out.state))
 
+    transition_uses_key = False  # IDM dynamics are deterministic given actions
+
     def transition(self, params: HighwayParams, state: HighwayState, action, key) -> StepOut:
         """Dynamics without the (sorted, normalized) observation build —
         the open-loop planning hot path."""
