@@ -35,8 +35,10 @@ def make_mesh(n_devices: Optional[int] = None, axes: Sequence[str] = ("dp", "tp"
     return Mesh(devices.reshape(shape), axes)
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "dp"):
-    """Place a pytree batch with its leading axis sharded over ``axis``."""
+def shard_batch(mesh: Mesh, batch, axis="dp"):
+    """Place a pytree batch with its leading axis sharded over ``axis``
+    (a mesh axis name, or a tuple of names for multi-axis sharding, e.g.
+    ``("host", "dp")`` on a pod mesh)."""
     def put(x):
         spec = P(axis, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -58,13 +60,17 @@ def mlp_param_spec(params, tp_axis: str = "tp"):
 
 def make_sharded_train_step(mesh: Mesh, model, optimizer, gamma: float,
                             double: bool = True, tp: bool = True):
-    """DQN train step sharded over the mesh: batch over ``dp``, params over
-    ``tp`` (or replicated). XLA inserts the gradient psum across dp and the
-    activation collectives across tp — no hand-written NCCL analog.
+    """DQN train step sharded over the mesh: batch over every data axis of
+    the mesh (``dp`` on a single-host mesh; ``("host", "dp")`` on a pod mesh,
+    where the host axis rides DCN), params over ``tp`` (or replicated).
+    XLA inserts the gradient psum across the data axes and the activation
+    collectives across tp — no hand-written NCCL analog.
 
     Replaces the reference's worker-pool + model-file parameter channel
     (evaluation.py:196-290) with one SPMD program.
     """
+    from rl_agents_tpu.parallel.distributed import data_axes
+    batch_axes = data_axes(mesh)
 
     def loss_fn(params, target_params, batch):
         q = model.apply(params, batch.state)
@@ -90,13 +96,14 @@ def make_sharded_train_step(mesh: Mesh, model, optimizer, gamma: float,
             return jax.tree.map(lambda s: NamedSharding(mesh, s), mlp_param_spec(params))
         return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
 
-    batch_sharding = NamedSharding(mesh, P("dp"))
+    batch_sharding = NamedSharding(mesh, P(batch_axes))
 
     def compile_step(params, opt_state_example, batch_example):
         p_shard = param_shardings(params)
         o_shard = jax.tree.map(lambda _: NamedSharding(mesh, P()), opt_state_example)
         b_shard = jax.tree.map(
-            lambda x: NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1)))), batch_example)
+            lambda x: NamedSharding(mesh, P(batch_axes, *([None] * (x.ndim - 1)))),
+            batch_example)
         return jax.jit(train_step,
                        in_shardings=(p_shard, p_shard, o_shard, b_shard),
                        out_shardings=(p_shard, o_shard, NamedSharding(mesh, P())))
@@ -104,19 +111,23 @@ def make_sharded_train_step(mesh: Mesh, model, optimizer, gamma: float,
     return train_step, compile_step, batch_sharding
 
 
-def sharded_planner_batch(mesh: Mesh, plan_fn, params, states0, keys):
-    """Run a batch of independent trees sharded over dp via shard_map:
-    each device plans its shard of trees locally; ICI only carries the final
-    stats gather (the reference fans envs over process pools instead,
-    SURVEY §2.8 P1/P2)."""
+def sharded_planner_batch(mesh: Mesh, plan_fn, params, states0, keys, axes=None):
+    """Run a batch of independent trees sharded over the mesh's data axes via
+    shard_map: each device plans its shard of trees locally; only the final
+    stats gather crosses the interconnect (ICI within a host, DCN across the
+    host axis of a pod mesh). The reference fans envs over process pools
+    instead (SURVEY §2.8 P1/P2)."""
     from jax import shard_map
 
-    state_specs = jax.tree.map(lambda _: P("dp"), states0)
+    from rl_agents_tpu.parallel.distributed import data_axes
+    axes = tuple(axes) if axes is not None else data_axes(mesh)
+    spec = P(axes)
+    state_specs = jax.tree.map(lambda _: spec, states0)
     fn = shard_map(
         lambda s, k: jax.vmap(lambda si, ki: plan_fn(params, si, ki))(s, k),
         mesh=mesh,
-        in_specs=(state_specs, P("dp")),
-        out_specs=P("dp"),
+        in_specs=(state_specs, spec),
+        out_specs=spec,
         check_vma=False,
     )
     return fn(states0, keys)
