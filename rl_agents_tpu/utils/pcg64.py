@@ -210,6 +210,24 @@ def pcg64_choice(state, inc, n):
     return pcg64_integers(state, inc, n)
 
 
+def pcg64_double(stream: PCG64Stream, inc):
+    """numpy ``Generator.random()``: one raw 64-bit draw, top 53 bits scaled
+    (numpy distributions.c ``next_double``: ``(next_uint64 >> 11) * 2**-53``).
+    Bypasses the 32-bit buffer exactly like ``next_uint64`` does. This is what
+    ``Generator.choice(a, size, p=...)`` consumes — one double per sample
+    (numpy _generator.pyx: ``cdf.searchsorted(self.random(shape), 'right')``).
+
+    Requires x64 mode (the value is a float64 by construction); the parity
+    planners run under ``jax.experimental.enable_x64``.
+    """
+    stream, (hi, lo) = pcg64_next64(stream, inc)
+    # (hi * 2**32 + lo) >> 11 == hi * 2**21 + (lo >> 11); both terms < 2**53
+    # so the float64 sum is exact.
+    hi53 = hi.astype(jnp.float64) * jnp.float64(2097152.0)
+    lo53 = (lo >> jnp.uint32(11)).astype(jnp.float64)
+    return stream, (hi53 + lo53) * jnp.float64(1.0 / 9007199254740992.0)
+
+
 class ParityStream:
     """Host-facing wrapper holding a device PCG64 stream, API-compatible with
     the subset of ``np.random.Generator`` the reference planners consume."""
