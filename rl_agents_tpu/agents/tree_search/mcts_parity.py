@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rl_agents_tpu.envs.base import FunctionalEnv
+from rl_agents_tpu.utils.exact import mul_add_exact as _mul_add_exact
 from rl_agents_tpu.utils.pcg64 import pcg64_choice, pcg64_double
 
 
@@ -46,21 +47,6 @@ class ParityArena(NamedTuple):
 
 def _stream_where(flag, a, b):
     return jax.tree.map(lambda x, y: jnp.where(flag, x, y), a, b)
-
-
-def _mul_add_exact(a, b, c):
-    """``a + b * c`` with two separate IEEE roundings (python semantics).
-
-    XLA's CPU backend lets LLVM contract mul+add into a single-rounding FMA
-    (unconditionally — ``--xla_allow_excess_precision=false`` does not reach
-    the LLVM contraction, and ``optimization_barrier``/bitcast round-trips are
-    folded away before instruction selection). Computing the product inside a
-    ``lax.cond`` branch is the one construct measured to survive codegen as a
-    separate computation, forcing the product to round before the add; both
-    branches are identical so the predicate value is irrelevant.
-    """
-    prod = jax.lax.cond(jnp.isfinite(b), lambda: b * c, lambda: b * c)
-    return a + prod
 
 
 @partial(jax.jit, static_argnames=("env", "num_actions", "episodes", "horizon",
