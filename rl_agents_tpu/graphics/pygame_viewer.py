@@ -136,23 +136,30 @@ class TreePygameGraphics:
 
     @classmethod
     def display(cls, agent, surface, max_depth: int = 6):
-        tree = agent.last_plan_data
+        import pygame as pg
+
+        tree = getattr(agent, "last_plan_data", None)
         if tree is None:
             return
-        children = np.asarray(tree.children)
+        children = getattr(tree, "children", getattr(tree, "d_children", None))
+        if children is None:
+            return
+        children = np.asarray(children)
         if children.ndim == 3:  # batched planner output: show tree 0
             children = children[..., 0]
-        get = lambda arr: np.asarray(arr)
-        if hasattr(tree, "value"):
-            values = get(tree.value)
-        else:  # OPD trees carry bounds
-            values = get(tree.value_lower)
+        values = None
+        for field in ("value", "value_upper", "value_lower", "d_value_upper"):
+            arr = getattr(tree, field, None)
+            if arr is not None:
+                values = np.asarray(arr)
+                break
+        if values is None:
+            values = np.zeros(children.shape[0])
         if values.ndim == 2:
             values = values[:, 0]
         vmin, vmax = float(values.min()), float(values.max())
         span = (vmax - vmin) or 1.0
         W, H = surface.get_size()
-        pg = agent and __import__("pygame")
 
         def rec(node, depth, y0, y1):
             if depth > max_depth:

@@ -105,6 +105,21 @@ class Evaluation:
 
             if renderer_for(self.env) is not None:
                 self.recorder = EpisodeRecorder(self.run_directory)
+        # Live pygame viewer with agent overlays (reference: evaluation.py:100-109
+        # hooks AgentGraphics.display into env.viewer.set_agent_display).
+        self.viewer = None
+        if display_env and hasattr(self.env, "functional"):
+            try:
+                from rl_agents_tpu.graphics.pygame_viewer import (
+                    PygameViewer, default_agent_display)
+
+                self.viewer = PygameViewer(self.env)
+                if display_agent:
+                    self.viewer.set_agent_display(
+                        lambda agent_surface, sim_surface: default_agent_display(
+                            self.agent, agent_surface, sim_surface))
+            except ImportError:
+                logger.warning("pygame unavailable; live viewer disabled")
         self.observation = None
 
     def _make_writer(self):
@@ -177,6 +192,8 @@ class Evaluation:
             self.agent.record(previous_observation, action, reward, self.observation, done, info)
         except NotImplementedError:
             pass
+        if self.viewer is not None:
+            self.viewer.display(agent=self.agent)
         return float(reward), terminal
 
     # ------------------------------------------------------------------
@@ -194,15 +211,23 @@ class Evaluation:
         self.agent.reset()
         for batch, batch_size in enumerate(batch_sizes):
             logger.info("[BATCH=%d/%d] collecting %d samples", batch + 1, len(batch_sizes), batch_size)
+            collect_start = time.time()
             if hasattr(self.agent, "collect_samples_device"):
                 trajectories = self.agent.collect_samples_device(
                     self.env, batch_size, seed=batch, explore=(batch == 0))
             else:
                 trajectories = self.collect_samples_host(batch_size, seed=batch, batch=batch)
+            # Real wall-clock fps (reference times each trajectory individually,
+            # evaluation.py:145-159,331): collection here is one timed batch, so
+            # each episode is attributed its share of the batch duration
+            # proportional to its step count — episode fps == batch fps.
+            collect_duration = time.time() - collect_start
+            total_steps = sum(len(t) for t in trajectories) or 1
             for trajectory in trajectories:
                 if trajectory and trajectory[-1].terminal:
                     self.after_all_episodes(
-                        episode, [t.reward for t in trajectory], duration=1.0)
+                        episode, [t.reward for t in trajectory],
+                        duration=collect_duration * len(trajectory) / total_steps)
                 episode += 1
                 for t in trajectory:
                     self.agent.record(*t)
@@ -344,5 +369,7 @@ class Evaluation:
         if self.training:
             self.save_agent_model("final")
         self.writer.close()
+        if self.viewer is not None:
+            self.viewer.close()
         if self.close_env:
             self.env.close()
