@@ -303,16 +303,30 @@ def opd_step_subtree(tree: OPDTree, action, gamma: float, num_actions: int,
     vu = jnp.where(is_leaf & ~was_leaf, jnp.where(done, vl, optimistic), vu)
 
     # Bottom-up interior recompute: repeated vectorized max-over-children
-    # passes converge in <= max depth sweeps (bounds move only upward here).
+    # passes converge in <= max carried depth sweeps. The while_loop exits as
+    # soon as a sweep is a fixed point, so shallow carried trees pay only
+    # their actual depth, not the static ``backup_sweeps`` cap.
     cvalid = children >= 0
     cidx = jnp.maximum(children, 0)
-    def sweep(_, carry):
-        vl, vu = carry
+    interior = ~is_leaf & slot
+
+    def sweep(vl, vu):
         cl = jnp.max(jnp.where(cvalid, vl[cidx], -jnp.inf), axis=1)
         cu = jnp.max(jnp.where(cvalid, vu[cidx], -jnp.inf), axis=1)
-        interior = ~is_leaf & slot
         return jnp.where(interior, cl, vl), jnp.where(interior, cu, vu)
-    vl, vu = jax.lax.fori_loop(0, backup_sweeps, sweep, (vl, vu))
+
+    def cond(carry):
+        i, _, _, changed = carry
+        return (i < backup_sweeps) & changed
+
+    def body(carry):
+        i, vl, vu, _ = carry
+        nvl, nvu = sweep(vl, vu)
+        changed = jnp.any((nvl != vl) | (nvu != vu))
+        return i + 1, nvl, nvu, changed
+
+    _, vl, vu, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), vl, vu, jnp.bool_(True)))
 
     states = jax.tree.map(lambda x: x[old_of_new], tree.states)
     new_tree = OPDTree(parent=parent, action=act, depth=depth, children=children,

@@ -2,10 +2,16 @@
 
 Rebuild of the reference study (scripts/planners_evaluation.py:1-302): sweep
 planning budgets over a log-range for several planners and seeds, accumulate
-a CSV of returns, and plot return-vs-budget curves. The reference fans runs
-over a process pool (planners_evaluation.py:294-295); here the seed axis is
-one vmapped device batch per (agent, budget) cell — the study sweep itself is
-the TPU-native parallelism.
+a CSV with the reference's exact column schema
+(agent,budget,seed,total_reward,return,mean_return,length,simple_regret,gap —
+reference: planners_evaluation.py:178-190), and plot return-vs-budget and
+regret-vs-budget curves. Simple regret is measured against a Value Iteration
+oracle at the initial state (reference: planners_evaluation.py:147-156):
+``r_n = Q*(s0, a*) - Q*(s0, a_planner)``; ``gap`` is the optimality gap to the
+second-best action. The reference fans runs over a process pool
+(planners_evaluation.py:294-295); here the seed axis is a host loop over
+jitted per-cell evaluations — the planners themselves are single jitted
+programs, and the heavy sweep parallelism lives in their batch axes.
 
 Usage:
   planners_evaluation.py [--env ENV_JSON] [--budgets N] [--seeds N] [--out DIR]
@@ -19,8 +25,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from rl_agents_tpu.factory import load_agent, load_environment
@@ -31,6 +35,7 @@ gamma = 0.8
 def agent_configs():
     """(reference: planners_evaluation.py:53-124, same planner lineup)"""
     return {
+        "random": {"__class__": "RandomUniformAgent"},
         "KL-OLOP": {"__class__": "OLOPAgent", "gamma": gamma,
                     "upper_bound": {"type": "kullback-leibler", "time": "global",
                                     "threshold": "4*np.log(time)"}},
@@ -54,22 +59,63 @@ def parse_env_arg(env):
     return env
 
 
-def evaluate_cell(env_config, agent_name, agent_config, budget, seeds):
-    """Return of the first planned action sequence, per seed."""
-    returns = []
+def make_oracle(env_config):
+    """VI oracle for simple-regret measurement, or None when the env exposes
+    no finite MDP (reference: planners_evaluation.py:146-156 gates regret the
+    same way — compute_regret off for non-finite envs)."""
+    from rl_agents_tpu.agents.dynamic_programming.value_iteration import ValueIterationAgent
+
+    env = load_environment(env_config)
+    if not (hasattr(env, "mdp") and env.mdp is not None):
+        return None
+    vi = ValueIterationAgent(env, {"gamma": gamma,
+                                   "iterations": int(3 / (1 - gamma))})
+    return vi.state_action_value  # [S, A] numpy
+
+
+def evaluate_cell(env_config, agent_name, agent_config, budget, seeds, q_oracle,
+                  max_steps=30):
+    """One (agent, budget) cell: rows with the reference's result schema
+    (reference: planners_evaluation.py:126-194)."""
+    rows = []
     for seed in range(seeds):
         env = load_environment(env_config)
         agent = load_agent({**agent_config, "budget": int(budget)}, env)
         agent.seed(seed)
         obs, _ = env.reset(seed=seed)
-        total, done, trunc, steps = 0.0, False, False, 0
-        while not (done or trunc) and steps < 30:
+
+        if q_oracle is not None:
+            s0 = int(obs)
+            first_action = int(np.asarray(agent.act(obs)))
+            best_action = int(np.argmax(q_oracle[s0]))
+            simple_regret = float(q_oracle[s0, best_action] - q_oracle[s0, first_action])
+            order = np.sort(q_oracle[s0])
+            gap = float(order[-1] - order[-2]) if len(order) > 1 else 0.0
+            agent.reset()
+        else:
+            simple_regret, gap = 0.0, 0.0
+
+        rewards = []
+        done = trunc = False
+        while not (done or trunc) and len(rewards) < max_steps:
             action = agent.act(obs)
             obs, r, done, trunc, _ = env.step(action)
-            total += gamma ** steps * r
-            steps += 1
-        returns.append(total)
-    return returns
+            rewards.append(float(r))
+
+        def cum_discount(signal):
+            return float(sum(gamma ** t * x for t, x in enumerate(signal)))
+
+        rows.append({
+            "agent": agent_name, "budget": int(budget), "seed": seed,
+            "total_reward": float(np.sum(rewards)),
+            "return": cum_discount(rewards),
+            "mean_return": float(np.mean([cum_discount(rewards[t:])
+                                          for t in range(len(rewards))])) if rewards else 0.0,
+            "length": len(rewards),
+            "simple_regret": simple_regret,
+            "gap": gap,
+        })
+    return rows
 
 
 def main():
@@ -91,43 +137,61 @@ def main():
     if args.agents:
         configs = {k: v for k, v in configs.items() if k in args.agents}
 
+    env_config = parse_env_arg(args.env)
+    q_oracle = make_oracle(env_config)
     rows = []
     for name, config in configs.items():
         for budget in budgets:
-            returns = evaluate_cell(parse_env_arg(args.env), name, config, budget, args.seeds)
-            for seed, ret in enumerate(returns):
-                rows.append({"agent": name, "budget": int(budget), "seed": seed,
-                             "return": float(ret)})
+            cell = evaluate_cell(env_config, name, config, budget, args.seeds, q_oracle)
+            rows.extend(cell)
+            rets = [r["return"] for r in cell]
+            regs = [r["simple_regret"] for r in cell]
             print(f"{name:10s} budget {budget:5d}: "
-                  f"return {np.mean(returns):.3f} +- {np.std(returns):.3f}")
+                  f"return {np.mean(rets):.3f} +- {np.std(rets):.3f}  "
+                  f"regret {np.mean(regs):.3f}")
 
-    csv_path = out / "data.csv"
+    write_csv(out / "data.csv", rows)
+    plot_all(out, rows, list(configs))
+
+
+COLUMNS = ["agent", "budget", "seed", "total_reward", "return", "mean_return",
+           "length", "simple_regret", "gap"]  # reference: planners_evaluation.py:178-190
+
+
+def write_csv(csv_path, rows):
     with open(csv_path, "w") as f:
-        f.write("agent,budget,seed,return\n")
+        f.write(",".join(COLUMNS) + "\n")
         for row in rows:
-            f.write(f"{row['agent']},{row['budget']},{row['seed']},{row['return']}\n")
+            f.write(",".join(str(row[c]) for c in COLUMNS) + "\n")
     print(f"Wrote {csv_path}")
 
+
+def plot_all(out, rows, agent_names):
+    """Return- and regret-vs-budget curves (reference:
+    planners_evaluation.py:246-280; seaborn lineplot → matplotlib means)."""
     try:
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-
+    except ImportError:
+        return
+    for field, yscale in [("total_reward", "linear"), ("simple_regret", "symlog")]:
         fig, ax = plt.subplots()
-        for name in configs:
-            data = [(r["budget"], r["return"]) for r in rows if r["agent"] == name]
+        for name in agent_names:
+            data = [(r["budget"], r[field]) for r in rows if r["agent"] == name]
             bs = sorted(set(b for b, _ in data))
-            means = [np.mean([ret for b, ret in data if b == bb]) for bb in bs]
+            means = [np.mean([v for b, v in data if b == bb]) for bb in bs]
             ax.plot(bs, means, marker="o", label=name)
         ax.set_xscale("log")
+        if yscale == "symlog":
+            ax.set_yscale("symlog", linthresh=1e-3)
         ax.set_xlabel("budget")
-        ax.set_ylabel("return")
+        ax.set_ylabel(field)
         ax.legend()
-        fig.savefig(out / "return_vs_budget.png", dpi=120)
-        print(f"Wrote {out / 'return_vs_budget.png'}")
-    except ImportError:
-        pass
+        fig.savefig(out / f"{field}_vs_budget.png", dpi=120)
+        plt.close(fig)
+        print(f"Wrote {out / (field + '_vs_budget.png')}")
 
 
 if __name__ == "__main__":

@@ -100,3 +100,80 @@ def test_mcts_with_prior_policy():
     with tempfile.TemporaryDirectory() as d:
         path = agent.save(Path(d) / "prior.tar")
         assert path
+
+
+def test_platypoos_array_encoded():
+    """The array-encoded PlaTyPOOS finds the VI-optimal action on the loop
+    MDP at a budget deep enough for several exploration layers, and issues
+    one batched device expansion per layer — not one per node
+    (reference: platypoos.py:30-65; the per-node deepcopy loops are replaced
+    by a single vmapped (nodes x actions x evals) batch)."""
+    from rl_agents_tpu.agents.dynamic_programming.value_iteration import (
+        ValueIterationAgent,
+    )
+    from rl_agents_tpu.agents.tree_search import platypoos
+
+    env = make_mdp({
+        "mode": "deterministic",
+        "transition": [[0, 1, 2], [0, 3, 2], [0, 1, 3], [3, 1, 2]],
+        "reward": [[0, 1, 0.9], [0, 0, 0.9], [0, 1, 0], [0, 1, 0.9]],
+        "terminal": [0, 0, 0, 0],
+        "max_episode_steps": 10000,
+    })
+    env.reset(seed=0)
+    oracle = ValueIterationAgent(env, {"gamma": 0.8, "iterations": 100})
+    best = int(np.argmax(oracle.state_action_value[0]))
+
+    calls = []
+    orig = platypoos._expand_batch
+
+    def counting(*args, **kwargs):
+        calls.append(args[3].shape)  # evals shape = padded node-batch size
+        return orig(*args, **kwargs)
+
+    platypoos._expand_batch = counting
+    try:
+        agent = PlaTyPOOSAgent(env, {"budget": 2400, "gamma": 0.8})
+        agent.seed(3)
+        action = agent.act(0)
+    finally:
+        platypoos._expand_batch = orig
+
+    assert action == best
+    h_max = agent.config["horizon"]
+    assert h_max >= 3
+    # exploration: <= one batched call per layer; crossval: <= h_max+1 per
+    # candidate chain. Far fewer calls than nodes evaluated.
+    assert len(calls) <= h_max + (h_max + 1) * max(len(agent.candidates), 1)
+    # the schedule's opening count is small at this horizon (matches the
+    # reference formulae); each opening is A vmapped env evaluations
+    assert agent.openings >= 10
+
+
+def test_trailblazer_batched_oracle():
+    """TrailBlazer draws each AvgNode's transition samples in one padded
+    device dispatch rather than one env step per sample
+    (reference: trailblazer.py:70-78 steps one deepcopy per sample)."""
+    from rl_agents_tpu.agents.tree_search import trailblazer as tb_mod
+
+    calls = []
+    orig = tb_mod._oracle_batch
+
+    def counting(*args, **kwargs):
+        calls.append(args[-1] if isinstance(args[-1], int) else kwargs.get("n"))
+        return orig(*args, **kwargs)
+
+    tb_mod._oracle_batch = counting
+    try:
+        env = make_mdp(dict(TWO_ARM, max_episode_steps=10000))
+        env.reset(seed=0)
+        tb = TrailBlazer(env, gamma=0.5, delta=0.1, epsilon=1.0,
+                         max_oracle_calls=500)
+        value = tb.run()
+    finally:
+        tb_mod._oracle_batch = orig
+
+    assert np.isfinite(value)
+    assert tb.oracle_calls > len(calls)  # strictly fewer dispatches than samples
+    # padding buckets: only O(log) distinct batch shapes compile
+    assert len(set(calls)) <= 12

@@ -58,3 +58,33 @@ def test_config_corpus_integrity():
                 env.reset(seed=0)
         # else: benchmark / sweep / logging configs — parse-only
     assert n_agents >= 30 and n_envs >= 16
+
+
+def test_planner_study_regret_csv(tmp_path, monkeypatch):
+    """The planner-efficiency study writes the reference's exact CSV schema
+    and measures simple regret against the VI oracle
+    (reference: scripts/planners_evaluation.py:147-156,178-190)."""
+    import planners_evaluation as study
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["planners_evaluation.py", "--budgets", "1", "--budget-max", "1",
+         "--seeds", "2", "--agents", "random", "OPD",
+         "--out", str(tmp_path)])
+    study.main()
+
+    csv_path = tmp_path / "data.csv"
+    lines = csv_path.read_text().strip().splitlines()
+    # column schema matches the reference result dict, in order
+    assert lines[0].split(",") == ["agent", "budget", "seed", "total_reward",
+                                   "return", "mean_return", "length",
+                                   "simple_regret", "gap"]
+    rows = [dict(zip(lines[0].split(","), ln.split(","))) for ln in lines[1:]]
+    assert len(rows) == 4  # 2 agents x 1 budget x 2 seeds
+    opd_regret = [float(r["simple_regret"]) for r in rows if r["agent"] == "OPD"]
+    rnd_regret = [float(r["simple_regret"]) for r in rows if r["agent"] == "random"]
+    # OPD with any budget on the loop MDP finds the oracle action exactly
+    assert all(r == 0.0 for r in opd_regret)
+    # the gap column is the oracle's own action gap, strictly positive here
+    assert all(float(r["gap"]) > 0 for r in rows)
+    assert max(rnd_regret) >= 0.0
