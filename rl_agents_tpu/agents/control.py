@@ -135,33 +135,40 @@ class IntervalFeedbackAgent(LinearFeedbackAgent):
     # ------------------------------------------------------------------
     def synthesize_controller(self, pole_placement: bool = False,
                               ensure_stability: bool = True) -> bool:
+        """(reference: interval_feedback.py:66-116) Build the extended
+        interval-system matrices, then synthesize gains via the stability LMI
+        — solved by the jnp spectral-penalty solver (utils/lmi.py) instead of
+        cvxpy/SCS — or check a pole-placed gain with the analysis LMI."""
         A0 = np.array(self.config["A0"], dtype=float)
         dA = np.array(self.config["dA"], dtype=float)
         B = np.array(self.config["B"], dtype=float)
-        DA = dA.sum(axis=0)
+        dAp = sum(_pos(dAi) for dAi in dA)
+        dAn = sum(_neg(dAi) for dAi in dA)
         p = int(B.shape[0])
 
-        try:
-            import cvxpy  # noqa: F401
+        # Extended matrices (reference: interval_feedback.py:85-93)
+        zero = np.zeros((p, p))
+        cA0 = np.block([[A0, zero], [zero, A0]])
+        cA1 = np.block([[zero, -dAn], [zero, dAp]])
+        cA2 = np.block([[-dAp, zero], [dAn, zero]])
+        cB = np.concatenate((B, B))
 
-            has_cvxpy = True
-        except ImportError:
-            has_cvxpy = False
-
-        if pole_placement or not has_cvxpy:
+        if pole_placement:
             K = self._pole_placement_gain(A0, B, p)
             self.K0 = 0.5 * np.concatenate((K, K), axis=1)
             self.K1 = np.zeros(self.K0.shape)
             self.K2 = np.zeros(self.K0.shape)
-            if ensure_stability:
-                eig = np.linalg.eigvals(A0 + B @ K)
-                stable = bool(np.all(np.real(eig) < 1e-6))
-                eig_hi = np.linalg.eigvals(A0 + B @ K + DA)
-                logger.debug("closed-loop eigs: %s; with DA: %s", eig, eig_hi)
-                return stable
-            return True
+            cA0 = cA0 + cB @ self.K0
+            if not ensure_stability:
+                return True
 
-        return self._stability_lmi(A0, dA, B)
+        success = self._stability_lmi(cA0, cA1, cA2, cB,
+                                      synthesize_control=not pole_placement)
+        if not success and not pole_placement:
+            # (reference: interval_feedback.py:113-116)
+            success = self.synthesize_controller(pole_placement=True,
+                                                 ensure_stability=ensure_stability)
+        return success
 
     def _pole_placement_gain(self, A0, B, p):
         """(reference fallback: interval_feedback.py:96-109)"""
@@ -176,19 +183,41 @@ class IntervalFeedbackAgent(LinearFeedbackAgent):
         result = place_poles(A0, B, poles[:p])
         return -result.gain_matrix
 
-    def _stability_lmi(self, A0, dA, B) -> bool:
-        """LMI synthesis via cvxpy when available (reference:
-        interval_feedback.py:118-226). Falls back to pole placement on failure."""
-        try:
-            # Full LMI formulation mirrors the reference; kept behind cvxpy.
-            raise ImportError  # image has no SCS solver wheels; use fallback
-        except ImportError:
-            return self.synthesize_controller(pole_placement=True,
-                                              ensure_stability=self.config["ensure_stability"])
+    def _stability_lmi(self, cA0, cA1, cA2, cB, synthesize_control: bool = True) -> bool:
+        """Stability/synthesis LMI (reference: interval_feedback.py:118-226),
+        solved without cvxpy by convex spectral-penalty descent. In synthesis
+        mode, gains (K0, K1, K2) are recovered from the solution; in analysis
+        mode the LMI certifies the pole-placed closed loop."""
+        from rl_agents_tpu.utils.lmi import solve_interval_lmi
+
+        sol = solve_interval_lmi(cA0, cA1, cA2, cB,
+                                 synthesize_control=synthesize_control)
+        if sol is None:
+            logger.debug("stability LMI: infeasible / not certified")
+            return False
+        if synthesize_control:
+            self.K0, self.K1, self.K2 = sol["K0"], sol["K1"], sol["K2"]
+        self.compute_attraction_basin(cB, sol["Gamma"], sol["Omega"],
+                                      sol["P"], sol["Zp"], sol["Zn"])
+        return True
+
+    def compute_attraction_basin(self, cB, Gamma, Omega, P, Zp, Zn):
+        """Interval asymptotically containing xi under the certified
+        closed-loop dynamics (reference: interval_feedback.py:228-243)."""
+        Id = np.eye(Gamma.shape[0])
+        delta_tilde = (cB @ self.S + Id) @ self.delta()
+        alpha = np.amin(np.real(np.linalg.eigvals(
+            Omega @ np.linalg.inv(P + _pos(Zp) + _pos(Zn)))))
+        v_max = np.abs(delta_tilde.T @ Gamma @ delta_tilde) / max(alpha, 1e-12)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            self.Xf = 1 / np.sqrt(np.diagonal(P / np.maximum(v_max, 1e-12)))
 
     def synthesize_perturbation_rejection(self):
-        """min_S ||cB S + I||: closed form S = -pinv(cB)
-        (replaces the reference's norm-min SDP, interval_feedback.py:245-265)."""
+        """min_S ||cB S + I||_2: closed form S = -pinv(cB) replaces the
+        reference's norm-min SDP (interval_feedback.py:245-265). It is exactly
+        optimal: cB = [B; B] is tall, so for any unit u in ker(cB^T),
+        ||(cB S + I)^T u|| = 1 bounds the norm below by 1, and the projector
+        I - cB pinv(cB) attains it."""
         B = np.array(self.config["B"], dtype=float)
         cB = np.concatenate((B, B))
         self.S = -np.linalg.pinv(cB)

@@ -1,0 +1,177 @@
+"""LMI feasibility by convex spectral-penalty descent, in pure jnp.
+
+Replaces the reference's cvxpy/SCS semidefinite solves
+(reference: control/interval_feedback.py:118-226) with a dependency-free
+solver. The feasibility problem
+
+    find vars   s.t.   M(vars) <= 0   (M affine, symmetric),
+                       g_i(vars) >= eps   (g_i concave, elementwise)
+
+is solved by minimising the convex penalty
+
+    relu(lmax_tau(M(vars)) + delta) + sum_i relu(eps - g_i(vars))
+
+where ``lmax_tau`` is the tau-smoothed maximum eigenvalue
+(tau * logsumexp(spectrum / tau) — convex, differentiable, and an upper
+bound on lambda_max). Every term is convex, so Adam descent reaches the
+global minimum; it is 0 exactly when the delta-tightened problem is
+feasible. Because the interval-feedback LMIs are homogeneous of degree one
+in their variables, any strictly feasible point can be scaled until the
+margin delta is met, so the tightening loses nothing. The candidate is then
+verified against the ORIGINAL constraints with an exact ``eigvalsh`` check —
+the solver can fail to certify, it cannot falsely certify.
+
+The eigendecompositions are a few 8p x 8p symmetric solves per step (p =
+state dim, single digits): the whole descent is one jitted lax.scan.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _lmax_smooth(M, tau):
+    w = jnp.linalg.eigvalsh(M)
+    return tau * jax.nn.logsumexp(w / tau)
+
+
+@partial(jax.jit, static_argnames=("build", "iters"))
+def _descend(build, theta0, iters: int, lr: float, tau: float, delta: float,
+             eps: float):
+    import optax
+
+    opt = optax.adam(lr)
+
+    def penalty(theta):
+        M, elementwise = build(theta)
+        M = 0.5 * (M + M.T)
+        pen = jax.nn.relu(_lmax_smooth(M, tau) + delta)
+        for g in elementwise:
+            pen = pen + jnp.sum(jax.nn.relu(eps - g))
+        return pen
+
+    def step(carry, _):
+        theta, opt_state = carry
+        loss, grads = jax.value_and_grad(penalty)(theta)
+        updates, opt_state = opt.update(grads, opt_state)
+        theta = optax.apply_updates(theta, updates)
+        return (theta, opt_state), loss
+
+    (theta, _), losses = jax.lax.scan(step, (theta0, opt.init(theta0)),
+                                      length=iters)
+    return theta, losses
+
+
+def solve_spectral_feasibility(build, theta0, iters: int = 8000, lr: float = 0.02,
+                               tau: float = 1e-2, delta: float = 1e-3,
+                               eps: float = 1e-6, tol: float = 0.0):
+    """Solve ``M(theta) <= 0, g_i(theta) >= eps`` for the pytree ``theta``.
+
+    ``build(theta) -> (M, [g_i...])`` must be traceable and affine/concave as
+    described above. Returns ``(theta, True)`` when the exact verification
+    passes, ``(theta, False)`` otherwise.
+    """
+    theta, _ = _descend(build, theta0, iters, lr, tau, delta, eps)
+    M, elementwise = build(theta)
+    M = 0.5 * (M + np.asarray(M).T)
+    lmax = float(np.max(np.linalg.eigvalsh(np.asarray(M, np.float64))))
+    ok = lmax <= tol and all(float(np.min(np.asarray(g))) >= 0.5 * eps
+                             for g in elementwise)
+    return jax.tree.map(np.asarray, theta), ok
+
+
+# ---------------------------------------------------------------------------
+# Interval-feedback stability/synthesis LMIs (reference:
+# control/interval_feedback.py:118-226). Variables P, Q, Qp, Qn, Zp, Zn, Psi,
+# Psi_p, Psi_n, Gamma are diagonal (stored as vectors); U0, U1, U2 are full
+# q x 2p gain pre-images. In synthesis mode P/Zp/Zn stand for their inverses
+# and the gains are K0 = U0 P^-1, K1 = U1 Zp^-1, K2 = U2 Zn^-1.
+# ---------------------------------------------------------------------------
+
+_DIAG_VARS = ("P", "Q", "Qp", "Qn", "Zp", "Zn", "Psi", "Psi_p", "Psi_n", "Gamma")
+
+
+def _interval_lmi_matrix(theta, cA0, cA1, cA2, cB, synthesize: bool):
+    P, Q, Qp, Qn = theta["P"], theta["Q"], theta["Qp"], theta["Qn"]
+    Zp, Zn, Psi = theta["Zp"], theta["Zn"], theta["Psi"]
+    Psi_p, Psi_n, Gamma = theta["Psi_p"], theta["Psi_n"], theta["Gamma"]
+    n = cA0.shape[0]
+    Id = jnp.eye(n)
+    if synthesize:
+        U0, U1, U2 = theta["U0"], theta["U1"], theta["U2"]
+        # diag(v) @ A == v[:, None] * A;  A @ diag(v) == A * v[None, :]
+        Pi_11 = P[:, None] * cA0.T + cA0 * P[None, :] + U0.T @ cB.T + cB @ U0 + jnp.diag(Q)
+        Pi_12 = cA1 * Zp[None, :] + cB @ U1 + P[:, None] * cA0.T + U0.T @ cB.T + jnp.diag(Psi_p)
+        Pi_13 = cA2 * Zn[None, :] + cB @ U2 - P[:, None] * cA0.T - U0.T @ cB.T - jnp.diag(Psi_n)
+        Pi_22 = Zp[:, None] * cA1.T + cA1 * Zp[None, :] + U1.T @ cB.T + cB @ U1 + jnp.diag(Qp)
+        Pi_23 = cA2 * Zn[None, :] + cB @ U2 - Zp[:, None] * cA1.T - U1.T @ cB.T + jnp.diag(Psi)
+        Pi_33 = jnp.diag(Qn) - Zn[:, None] * cA2.T - cA2 * Zn[None, :] - U2.T @ cB.T - cB @ U2
+        M = jnp.block([
+            [Pi_11, Pi_12, Pi_13, Id],
+            [Pi_12.T, Pi_22, Pi_23, Id],
+            [Pi_13.T, Pi_23.T, Pi_33, -Id],
+            [Id, Id, -Id, -jnp.diag(Gamma)],
+        ])
+    else:
+        Ups_11 = cA0.T * P[None, :] + P[:, None] * cA0 + jnp.diag(Q)
+        Ups_12 = cA0.T * Zp[None, :] + P[:, None] * cA1 + jnp.diag(Psi_p)
+        Ups_13 = P[:, None] * cA2 - cA0.T * Zn[None, :] - jnp.diag(Psi_n)
+        Ups_22 = Zp[:, None] * cA1 + cA1.T * Zp[None, :] + jnp.diag(Qp)
+        Ups_23 = Zp[:, None] * cA2 - cA1.T * Zn[None, :] + jnp.diag(Psi)
+        Ups_33 = jnp.diag(Qn) - Zn[:, None] * cA2 - cA2.T * Zn[None, :]
+        M = jnp.block([
+            [Ups_11, Ups_12, Ups_13, jnp.diag(P)],
+            [Ups_12.T, Ups_22, Ups_23, jnp.diag(Zp)],
+            [Ups_13.T, Ups_23.T, Ups_33, -jnp.diag(Zn)],
+            [jnp.diag(P), jnp.diag(Zp), -jnp.diag(Zn), -jnp.diag(Gamma)],
+        ])
+    return M
+
+
+def solve_interval_lmi(cA0, cA1, cA2, cB, synthesize_control: bool = True,
+                       epsilon: float = 1e-6, iters: int = 8000):
+    """Feasibility of the interval-observer stability LMI; optionally
+    synthesize the (K0, K1, K2) interval-feedback gains.
+
+    Returns a dict with diagonal matrices P/Zp/Zn/Gamma/Omega (post-inversion
+    in synthesis mode, matching the reference's recovery at
+    interval_feedback.py:210-222) and gains K0/K1/K2 when synthesizing, or
+    None when feasibility could not be certified.
+    """
+    cA0 = jnp.asarray(cA0, jnp.float32)
+    cA1 = jnp.asarray(cA1, jnp.float32)
+    cA2 = jnp.asarray(cA2, jnp.float32)
+    cB = jnp.asarray(cB, jnp.float32)
+    n, q = cA0.shape[0], cB.shape[1]
+
+    theta0 = {name: jnp.ones(n, jnp.float32) for name in _DIAG_VARS}
+    if synthesize_control:
+        theta0.update({f"U{i}": jnp.zeros((q, n), jnp.float32) for i in range(3)})
+
+    def build(theta):
+        M = _interval_lmi_matrix(theta, cA0, cA1, cA2, cB, synthesize_control)
+        Omega = theta["Q"] + jnp.minimum(theta["Qp"], theta["Qn"]) \
+            + 2 * jnp.minimum(theta["Psi_p"], theta["Psi_n"])
+        if synthesize_control:
+            elementwise = [theta["P"], theta["Zp"], theta["Zn"], theta["Gamma"], Omega]
+        else:
+            elementwise = [theta["P"],
+                           theta["P"] + jnp.minimum(theta["Zp"], theta["Zn"]),
+                           theta["Gamma"], Omega]
+        return M, elementwise
+
+    theta, ok = solve_spectral_feasibility(build, theta0, iters=iters, eps=epsilon)
+    if not ok:
+        return None
+    out = {key: np.diag(theta[key]) for key in ("P", "Zp", "Zn", "Gamma")}
+    out["Omega"] = np.diag(theta["Q"] + np.minimum(theta["Qp"], theta["Qn"])
+                           + 2 * np.minimum(theta["Psi_p"], theta["Psi_n"]))
+    if synthesize_control:
+        # P/Zp/Zn were the inverses (reference: interval_feedback.py:151-153)
+        P, Zp, Zn = (np.linalg.inv(out[k]) for k in ("P", "Zp", "Zn"))
+        out.update(P=P, Zp=Zp, Zn=Zn,
+                   K0=theta["U0"] @ P, K1=theta["U1"] @ Zp, K2=theta["U2"] @ Zn)
+    return out
