@@ -63,28 +63,6 @@ def _init_tree(env: FunctionalEnv, state0, capacity: int, num_actions: int) -> O
     )
 
 
-def _backup_to_root(tree: OPDTree, node) -> OPDTree:
-    """Recompute bounds as max over children up the parent chain
-    (reference: deterministic.py:74-79)."""
-
-    def cond(carry):
-        n, _, _ = carry
-        return n >= 0
-
-    def body(carry):
-        n, vl, vu = carry
-        ch = tree.children[n]
-        valid = ch >= 0
-        cl = jnp.where(valid, vl[ch], -jnp.inf)
-        cu = jnp.where(valid, vu[ch], -jnp.inf)
-        vl = vl.at[n].set(jnp.max(cl))
-        vu = vu.at[n].set(jnp.max(cu))
-        return tree.parent[n], vl, vu
-
-    _, vl, vu = jax.lax.while_loop(cond, body, (node, tree.value_lower, tree.value_upper))
-    return tree._replace(value_lower=vl, value_upper=vu)
-
-
 def _expand(env: FunctionalEnv, params, tree: OPDTree, leaf_idx, gamma, terminal_reward,
             num_actions: int) -> OPDTree:
     """Expand a leaf: step the env once per action (vmapped), write child
@@ -110,17 +88,9 @@ def _expand(env: FunctionalEnv, params, tree: OPDTree, leaf_idx, gamma, terminal
         lambda arena, new: jax.lax.dynamic_update_slice_in_dim(arena, new, base, axis=0),
         tree.states, outs.state)
 
-    # count bump along the ancestor path (reference Node.update -> sequence())
-    def bump_cond(carry):
-        n, _ = carry
-        return n >= 0
-
-    def bump_body(carry):
-        n, cnt = carry
-        return tree.parent[n], cnt.at[n].add(A)
-
-    _, count = jax.lax.while_loop(bump_cond, bump_body, (leaf_idx, tree.count))
-    count = count.at[child_ids].set(1)
+    # ancestor count bumps and interior bound backups are deferred to the
+    # single consolidation sweep in _finalize_bounds
+    count = tree.count.at[child_ids].set(1)
 
     return tree._replace(
         parent=tree.parent.at[child_ids].set(leaf_idx),
@@ -214,14 +184,51 @@ def opd_plan_parity(env: FunctionalEnv, params, state0, stream, inc, num_actions
 
 
 def _expansion_rounds(env, params, tree, expansions, gamma, terminal_reward, num_actions):
+    """``expansions`` rounds of [select optimistic leaf -> expand], then ONE
+    bottom-up consolidation. OPD's expansion rule reads only LEAF upper
+    bounds (reference deterministic.py:106-114: ``max(leaves, ...)``), and
+    interior bounds are nested maxes whose fixed point is order-independent
+    (f32 max is exact) — so the reference's per-expansion backup walk
+    (deterministic.py:74-79), a serial parent chain per round, is deferred
+    into a single vectorized sweep pass with identical resulting bounds."""
     def round_fn(_, tree):
         scores = jnp.where(tree.leaf, tree.value_upper, -jnp.inf)
         leaf_idx = jnp.argmax(scores)  # first max == earliest-created leaf,
         # matching the reference's insertion-ordered max() tie-break
-        tree = _expand(env, params, tree, leaf_idx, gamma, terminal_reward, num_actions)
-        return _backup_to_root(tree, leaf_idx)
+        return _expand(env, params, tree, leaf_idx, gamma, terminal_reward, num_actions)
 
-    return jax.lax.fori_loop(0, expansions, round_fn, tree)
+    tree = jax.lax.fori_loop(0, expansions, round_fn, tree)
+    return _finalize_bounds(tree, max_sweeps=expansions + 1)
+
+
+def _finalize_bounds(tree: OPDTree, max_sweeps: int) -> OPDTree:
+    """Bottom-up fixed point of interior bounds (max over children) and
+    subtree counts (1 + sum over children — the closed form of the
+    reference's per-expansion +A ancestor bumps, Node.update -> sequence()).
+    Early-exits once a sweep changes nothing (~tree depth sweeps)."""
+    cvalid = tree.children >= 0
+    cidx = jnp.maximum(tree.children, 0)
+    interior = jnp.any(cvalid, axis=1)
+
+    def cond(carry):
+        i, _, _, _, changed = carry
+        return (i < max_sweeps) & changed
+
+    def body(carry):
+        i, vl, vu, cnt, _ = carry
+        cl = jnp.max(jnp.where(cvalid, vl[cidx], -jnp.inf), axis=1)
+        cu = jnp.max(jnp.where(cvalid, vu[cidx], -jnp.inf), axis=1)
+        cc = 1 + jnp.sum(jnp.where(cvalid, cnt[cidx], 0), axis=1)
+        nvl = jnp.where(interior, cl, vl)
+        nvu = jnp.where(interior, cu, vu)
+        ncnt = jnp.where(interior, cc, cnt)
+        changed = jnp.any((nvl != vl) | (nvu != vu) | (ncnt != cnt))
+        return i + 1, nvl, nvu, ncnt, changed
+
+    _, vl, vu, cnt, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), tree.value_lower, tree.value_upper, tree.count, jnp.bool_(True)))
+    return tree._replace(value_lower=vl, value_upper=vu, count=cnt)
 
 
 @partial(jax.jit, static_argnames=("env", "num_actions", "expansions", "plan_capacity"))
