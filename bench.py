@@ -9,11 +9,19 @@ substrate — with the identical budget/episodes/horizon/temperature, so the
 ratio measures planner architecture, not substrate overhead
 (reference: rl_agents/agents/tree_search/mcts.py:116-200).
 
+Timing methodology: on the tunneled axon device, ``jax.block_until_ready``
+returns at enqueue time, NOT completion — naive timings overstate throughput
+by orders of magnitude (round-1 numbers had this flaw). Every device metric
+here is therefore measured as the SLOPE of wall time over a chained
+``lax.scan`` of data-dependent repetitions with a forced scalar host
+transfer: t(reps=R) - t(reps=1) over R-1 executions cancels both the RTT
+and the transfer cost, leaving pure device compute.
+
 Extra metrics reported in the same JSON line:
   - mcts_highway_steps_per_sec: 4096-tree MCTS on the functional highway env
   - opd_expansions_per_sec: 4096-tree OPD expansions/s (highway)
   - dqn_env_steps_per_sec: fused actor-learner (128 envs, one SGD update per
-    env step, matching the reference's target_update=1 recipe)
+    env-step batch, matching the reference's target_update=1 recipe)
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -35,13 +43,27 @@ if os.environ.get("JAX_PLATFORMS") and "cpu" not in os.environ["JAX_PLATFORMS"]:
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: remote (tunnel) compiles cost 30-120s each; cache
+# hits make repeated bench runs cheap where the backend supports it
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def _log(msg):
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.time()
+
 EPISODES, HORIZON = 23, 8  # OLOP allocation of budget 184 at gamma 0.95
 GAMMA, TEMPERATURE = 0.95, 40.0
 B = 4096
+REPS = 8
 
 
-def _median_time(run, repeats=5):
-    run()  # compile
+def _wall_median(run, repeats=5):
+    run()  # warm (compile)
     times = []
     for _ in range(repeats):
         t0 = time.time()
@@ -50,43 +72,67 @@ def _median_time(run, repeats=5):
     return statistics.median(times)
 
 
-def bench_mcts_cartpole():
-    """Fused MCTS, 4096 trees, functional CartPole → env-steps/s."""
-    from rl_agents_tpu.agents.tree_search.mcts import mcts_plan_batch
-    from rl_agents_tpu.envs.cartpole import CartPoleEnv
+_RTT = None
 
-    env = CartPoleEnv(max_episode_steps=200)
+
+def _tunnel_rtt():
+    """Wall cost of dispatching a trivial program and transferring its scalar
+    result — the constant overhead every timed call pays. Measured once."""
+    global _RTT
+    if _RTT is None:
+        @jax.jit
+        def nop(x):
+            return x + 1.0
+        _RTT = _wall_median(lambda: float(nop(jnp.float32(0))))
+    return _RTT
+
+
+def chained_seconds_per_op(make_step):
+    """True device seconds per op: wall time of REPS chained (data-dependent)
+    repetitions in one program, minus the measured dispatch/transfer RTT,
+    divided by REPS. ``make_step(carry) -> scalar`` must make each repetition
+    depend on the previous one so the device cannot overlap them.
+    """
+    @jax.jit
+    def many():
+        def step(c, _):
+            return make_step(c), None
+        c, _ = jax.lax.scan(step, jnp.float32(0), None, length=REPS)
+        return c
+
+    tr = _wall_median(lambda: float(many()))
+    return max((tr - _tunnel_rtt()) / REPS, 1e-9)
+
+
+def bench_mcts(env, num_actions):
+    from rl_agents_tpu.agents.tree_search.mcts import mcts_plan_batch
+
     params = env.default_params()
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     states0, _ = jax.vmap(env.reset, in_axes=(None, 0))(params, keys)
-    probs = jnp.ones(2) / 2
+    probs = jnp.ones(num_actions) / num_actions
 
-    def run():
-        a, _, _ = mcts_plan_batch(env, params, states0, keys, probs, probs,
-                                  2, EPISODES, HORIZON, GAMMA, TEMPERATURE)
-        jax.block_until_ready(a)
+    def step(c):
+        ks = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, c.astype(jnp.int32))
+        a, _, _ = mcts_plan_batch(env, params, states0, ks, probs, probs,
+                                  num_actions, EPISODES, HORIZON, GAMMA, TEMPERATURE)
+        return jnp.sum(a).astype(jnp.float32) * 1e-9
 
-    dt = _median_time(run)
+    dt = chained_seconds_per_op(step)
     return B * EPISODES * HORIZON / dt
+
+
+def bench_mcts_cartpole():
+    """Fused MCTS, 4096 trees, functional CartPole → env-steps/s."""
+    from rl_agents_tpu.envs.cartpole import CartPoleEnv
+
+    return bench_mcts(CartPoleEnv(max_episode_steps=200), 2)
 
 
 def bench_mcts_highway():
-    from rl_agents_tpu.agents.tree_search.mcts import mcts_plan_batch
     from rl_agents_tpu.envs.highway import HighwayEnv
 
-    env = HighwayEnv(vehicles=15, lanes=4, max_episode_steps=40)
-    params = env.default_params()
-    keys = jax.random.split(jax.random.PRNGKey(0), B)
-    states0, _ = jax.vmap(env.reset, in_axes=(None, 0))(params, keys)
-    probs = jnp.ones(5) / 5
-
-    def run():
-        a, _, _ = mcts_plan_batch(env, params, states0, keys, probs, probs,
-                                  5, EPISODES, HORIZON, GAMMA, TEMPERATURE)
-        jax.block_until_ready(a)
-
-    dt = _median_time(run)
-    return B * EPISODES * HORIZON / dt
+    return bench_mcts(HighwayEnv(vehicles=15, lanes=4, max_episode_steps=40), 5)
 
 
 def bench_opd_highway(expansions=46):
@@ -99,18 +145,21 @@ def bench_opd_highway(expansions=46):
     keys = jax.random.split(jax.random.PRNGKey(1), B)
     states0, _ = jax.vmap(env.reset, in_axes=(None, 0))(params, keys)
 
-    def run():
-        a, _, _ = opd_plan_batch(env, params, states0, keys, num_actions=5,
+    def step(c):
+        ks = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, c.astype(jnp.int32))
+        a, _, _ = opd_plan_batch(env, params, states0, ks, num_actions=5,
                                  expansions=expansions, gamma=GAMMA,
                                  plan_capacity=8)
-        jax.block_until_ready(a)
+        return jnp.sum(a).astype(jnp.float32) * 1e-9
 
-    dt = _median_time(run)
+    dt = chained_seconds_per_op(step)
     return B * expansions / dt
 
 
 def bench_dqn_fused(num_envs=128, steps=500):
-    """Fused actor-learner on CartPole: env-steps/s with one SGD/env-step."""
+    """Fused actor-learner on CartPole: env-steps/s with one SGD/env-step.
+    The segment is already one chained on-device scan; slope over two
+    segment lengths cancels RTT + transfer."""
     import optax
 
     from rl_agents_tpu.envs.cartpole import CartPoleEnv
@@ -122,13 +171,13 @@ def bench_dqn_fused(num_envs=128, steps=500):
     init_fn, segment_fn = make_actor_learner(env, model, optax.adam(5e-4),
                                              num_envs=num_envs, capacity=50_000,
                                              batch_size=100)
-    state = init_fn(jax.random.PRNGKey(0))
-    state, _ = segment_fn(state, steps=steps)  # compile + warm
-    jax.block_until_ready(state.params)
-    t0 = time.time()
-    state, _ = segment_fn(state, steps=steps)
-    jax.block_until_ready(state.params)
-    dt = time.time() - t0
+    state0 = init_fn(jax.random.PRNGKey(0))
+
+    def go():
+        state, _ = segment_fn(state0, steps=steps)
+        return float(jax.tree.leaves(state.params)[0].sum())
+
+    dt = max(_wall_median(go) - _tunnel_rtt(), 1e-9)
     return steps * num_envs / dt
 
 
@@ -167,13 +216,16 @@ def bench_reference_mcts_cartpole(trials=3):
 
 
 def main():
+    _log("start")
     value = bench_mcts_cartpole()
+    _log(f"mcts_cartpole done: {value:.3e}")
     extra = {}
     for name, fn in [("mcts_highway_steps_per_sec", bench_mcts_highway),
                      ("opd_highway_expansions_per_sec", bench_opd_highway),
                      ("dqn_fused_env_steps_per_sec", bench_dqn_fused)]:
         try:
             extra[name] = round(fn())
+            _log(f"{name} done: {extra[name]:.3e}")
         except Exception as e:  # pragma: no cover - report partial results
             print(f"{name} failed: {e}", file=sys.stderr)
             extra[name] = None
@@ -192,6 +244,9 @@ def main():
                             "(numpy substrate), same budget=184/episodes=23/"
                             "horizon=8/temperature=40"),
         "baseline_value": round(baseline) if baseline else None,
+        "timing_method": ("slope of chained dependent lax.scan reps with "
+                          "forced scalar transfer (cancels tunnel RTT; "
+                          "block_until_ready is enqueue-only on axon)"),
         "extra": extra,
     }))
 

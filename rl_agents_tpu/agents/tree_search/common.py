@@ -58,7 +58,11 @@ def arena_subtree_gather(parent, children, used, action, out_capacity: int):
     """
     N, A = children.shape
     idx = jnp.arange(N, dtype=jnp.int32)
-    alive = idx < used
+    # structural aliveness: arenas with round-/episode-indexed slot bases are
+    # allowed holes (slots never written), so `idx < used` is not a valid
+    # membership test — allocated non-root nodes always have a parent
+    alive = (idx == 0) | (parent >= 0)
+    del used
     new_root = children[0, action]
     valid = new_root >= 0
 

@@ -63,12 +63,19 @@ def _init_tree(env: FunctionalEnv, state0, capacity: int, num_actions: int) -> O
     )
 
 
-def _expand(env: FunctionalEnv, params, tree: OPDTree, leaf_idx, gamma, terminal_reward,
-            num_actions: int) -> OPDTree:
+def _expand(env: FunctionalEnv, params, tree: OPDTree, leaf_idx, base, gamma,
+            terminal_reward, num_actions: int) -> OPDTree:
     """Expand a leaf: step the env once per action (vmapped), write child
-    stats, bump counts along the path (reference: deterministic.py:28-65)."""
+    stats (reference: deterministic.py:28-65).
+
+    ``base`` is the round-indexed slot base — the SAME value for every tree
+    in a vmapped batch. This matters enormously on TPU: a vmapped
+    dynamic_update_slice with a per-tree start (the old ``tree.used``
+    cursor) lowers to a per-lane scatter costing ~20 ms/round/field on the
+    state arena at B=4096, while a batch-invariant start is a single cheap
+    slice update (measured; see docs/pallas.md's sibling lesson — keep
+    batch-varying dynamic indexing off the hot path)."""
     A = num_actions
-    base = tree.used
     child_ids = base + jnp.arange(A, dtype=jnp.int32)
     leaf_state = jax.tree.map(lambda x: x[leaf_idx], tree.states)
     actions = jnp.arange(A)
@@ -183,7 +190,8 @@ def opd_plan_parity(env: FunctionalEnv, params, state0, stream, inc, num_actions
     return actions, length, tree, stream
 
 
-def _expansion_rounds(env, params, tree, expansions, gamma, terminal_reward, num_actions):
+def _expansion_rounds(env, params, tree, expansions, gamma, terminal_reward,
+                      num_actions, base0: int = 1):
     """``expansions`` rounds of [select optimistic leaf -> expand], then ONE
     bottom-up consolidation. OPD's expansion rule reads only LEAF upper
     bounds (reference deterministic.py:106-114: ``max(leaves, ...)``), and
@@ -191,11 +199,13 @@ def _expansion_rounds(env, params, tree, expansions, gamma, terminal_reward, num
     (f32 max is exact) — so the reference's per-expansion backup walk
     (deterministic.py:74-79), a serial parent chain per round, is deferred
     into a single vectorized sweep pass with identical resulting bounds."""
-    def round_fn(_, tree):
+    def round_fn(i, tree):
         scores = jnp.where(tree.leaf, tree.value_upper, -jnp.inf)
         leaf_idx = jnp.argmax(scores)  # first max == earliest-created leaf,
         # matching the reference's insertion-ordered max() tie-break
-        return _expand(env, params, tree, leaf_idx, gamma, terminal_reward, num_actions)
+        base = base0 + i * num_actions  # round-indexed slots, batch-invariant
+        return _expand(env, params, tree, leaf_idx, base, gamma, terminal_reward,
+                       num_actions)
 
     tree = jax.lax.fori_loop(0, expansions, round_fn, tree)
     return _finalize_bounds(tree, max_sweeps=expansions + 1)
@@ -251,14 +261,20 @@ def opd_plan_continue(env: FunctionalEnv, params, tree: OPDTree, state0, key,
                       terminal_reward: float = 0.0, plan_capacity: int = 32):
     """Continue planning in a carried (re-rooted) arena: ``expansions`` more
     rounds, exactly the reference's ``plan`` on a stepped tree
-    (deterministic.py:116-122 after step_by_subtree). The arena must have
-    spare capacity >= expansions * num_actions. The root state is refreshed
-    from the current env (deterministic.py:117 ``self.root.state = state``)."""
+    (deterministic.py:116-122 after step_by_subtree). The arena's LAST
+    ``expansions * num_actions`` slots must be unallocated padding
+    (opd_grow_arena provides them); new children go there at round-indexed
+    bases shared across the vmapped batch — per-tree allocation cursors are
+    a TPU scatter pathology (see _expand). The root state is refreshed from
+    the current env (deterministic.py:117 ``self.root.state = state``)."""
     gamma = jnp.float32(gamma)
     terminal_reward = jnp.float32(terminal_reward)
+    capacity = tree.parent.shape[0]
+    base0 = capacity - expansions * num_actions
     tree = tree._replace(states=jax.tree.map(
         lambda arena, x: arena.at[0].set(x), tree.states, state0))
-    tree = _expansion_rounds(env, params, tree, expansions, gamma, terminal_reward, num_actions)
+    tree = _expansion_rounds(env, params, tree, expansions, gamma, terminal_reward,
+                             num_actions, base0=base0)
     actions, length = _greedy_plan(tree, key, plan_capacity)
     return actions, length, tree
 
@@ -358,13 +374,172 @@ def opd_grow_arena(tree: OPDTree, extra: int) -> OPDTree:
         used=tree.used, states=states)
 
 
-def opd_plan_batch(env: FunctionalEnv, params, states0, keys, num_actions: int,
-                   expansions: int, gamma: float, terminal_reward: float = 0.0,
-                   plan_capacity: int = 32):
-    """vmap of opd_plan over a leading tree-batch axis of states/keys."""
+def opd_plan_batch_vmap(env: FunctionalEnv, params, states0, keys, num_actions: int,
+                        expansions: int, gamma: float, terminal_reward: float = 0.0,
+                        plan_capacity: int = 32):
+    """vmap of opd_plan over a leading tree-batch axis of states/keys.
+
+    Kept as the semantics oracle for the fused batch planner below. SLOW at
+    scale: vmapping the single-tree program gives batch-major [B, N] arenas
+    whose per-tree dynamic row gathers/scatters lower poorly on TPU
+    (~98 ms/round at B=4096 on the highway env — ~100x the fused layout)."""
     fn = partial(opd_plan, env, num_actions=num_actions, expansions=expansions,
                  gamma=gamma, terminal_reward=terminal_reward, plan_capacity=plan_capacity)
     return jax.vmap(lambda s, k: fn(params, s, k))(states0, keys)
+
+
+@partial(jax.jit, static_argnames=("env", "num_actions", "expansions", "plan_capacity"))
+def opd_plan_batch(env: FunctionalEnv, params, states0, keys, num_actions: int,
+                   expansions: int, gamma: float, terminal_reward: float = 0.0,
+                   plan_capacity: int = 32):
+    """Fused batched OPD with an explicit tree-batch axis — same algorithm
+    and bit-identical bounds as ``opd_plan`` per tree, node-major [N, B]
+    arena layout (the mcts_fused.py discipline): per-tree indexing is always
+    ``array[row_index_vector, lane_iota]`` (lane-aligned gathers/scatters,
+    the fast TPU lowering) and per-round child blocks land at round-indexed
+    batch-invariant row bases (a plain dynamic_update_slice). The vmapped
+    single-tree program (opd_plan_batch_vmap) produces batch-major [B, N]
+    arenas whose per-tree row indexing lowers ~100x slower.
+
+    Returns (actions [B, P], lengths [B], tree) with ``tree`` a
+    batch-leading OPDTree view, like the vmapped path.
+    """
+    A, R = num_actions, expansions
+    N = 1 + R * A
+    flat0 = jax.tree.leaves(states0)
+    B = flat0[0].shape[0]
+    gammaf = jnp.float32(gamma)
+    terminal_reward = jnp.float32(terminal_reward)
+    iota = jnp.arange(B, dtype=jnp.int32)
+
+    # node-major arenas [N, B]; states [N, B, ...]
+    states = jax.tree.map(
+        lambda x: jnp.zeros((N,) + x.shape, x.dtype).at[0].set(x), states0)
+    vl = jnp.zeros((N, B))
+    vu = jnp.zeros((N, B))
+    leaf = jnp.zeros((N, B), bool).at[0].set(True)
+    done = jnp.zeros((N, B), bool)
+    depth = jnp.zeros((N, B), jnp.int32)
+    reward = jnp.zeros((N, B))
+    first_child = jnp.full((N, B), -1, jnp.int32)
+    expanded = jnp.zeros((R, B), jnp.int32)  # which node each round expanded
+
+    # outer vmap over actions (state shared), inner over the tree batch
+    step_env = jax.vmap(jax.vmap(env.transition, in_axes=(None, 0, 0, None)),
+                        in_axes=(None, None, 0, None))
+
+    actions_block = jnp.broadcast_to(
+        jnp.arange(A, dtype=jnp.int32)[:, None], (A, B))
+    zero_keys = jnp.zeros((2,), jnp.uint32)
+
+    def round_fn(i, carry):
+        states, vl, vu, leaf, done, depth, reward, first_child, expanded = carry
+        base = 1 + i * A
+
+        scores = jnp.where(leaf, vu, -jnp.inf)
+        leaf_idx = jnp.argmax(scores, axis=0).astype(jnp.int32)  # [B]; first
+        # max == earliest-created leaf (rows are in creation order),
+        # matching the reference's insertion-ordered max() tie-break
+
+        leaf_state = jax.tree.map(lambda x: x[leaf_idx, iota], states)  # [B, ...]
+        d = depth[leaf_idx, iota] + 1                                   # [B]
+        vl_leaf = vl[leaf_idx, iota]
+        done_leaf = done[leaf_idx, iota]
+
+        outs = step_env(params, leaf_state, actions_block, zero_keys)   # [A, B]
+        r = outs.reward.astype(jnp.float32)
+        df = d.astype(jnp.float32)
+        child_done = outs.terminated | done_leaf[None, :]
+        child_vl = vl_leaf[None, :] + gammaf ** (df - 1)[None, :] * r
+        child_vu = child_vl + gammaf ** df[None, :] / (1 - gammaf)
+        terminal_value = child_vl + terminal_reward * gammaf ** df[None, :] / (1 - gammaf)
+        child_vl = jnp.where(child_done, terminal_value, child_vl)
+        child_vu = jnp.where(child_done, terminal_value, child_vu)
+
+        def put(arena, rows):
+            return jax.lax.dynamic_update_slice_in_dim(arena, rows, base, axis=0)
+
+        states = jax.tree.map(put, states, outs.state)
+        vl = put(vl, child_vl)
+        vu = put(vu, child_vu)
+        done = put(done, child_done)
+        depth = put(depth, jnp.broadcast_to(d[None, :], (A, B)))
+        reward = put(reward, r)
+        leaf = put(leaf, jnp.ones((A, B), bool)).at[leaf_idx, iota].set(False)
+        first_child = first_child.at[leaf_idx, iota].set(base)
+        expanded = expanded.at[i].set(leaf_idx)
+        return states, vl, vu, leaf, done, depth, reward, first_child, expanded
+
+    states, vl, vu, leaf, done, depth, reward, first_child, expanded = \
+        jax.lax.fori_loop(0, R, round_fn, (states, vl, vu, leaf, done, depth,
+                                           reward, first_child, expanded))
+
+    # -- bottom-up consolidation (same fixed point as _finalize_bounds) ------
+    child_rows = jnp.where(first_child >= 0, first_child, 0)[:, None, :] \
+        + jnp.arange(A, dtype=jnp.int32)[None, :, None]          # [N, A, B]
+    has_children = first_child >= 0                               # [N, B]
+    lanes = jnp.broadcast_to(iota[None, None, :], (N, A, B))
+    count = jnp.ones((N, B), jnp.int32)
+
+    def sweep_cond(c):
+        i, _, _, _, changed = c
+        return (i < R + 1) & changed
+
+    def sweep_body(c):
+        i, vl, vu, cnt, _ = c
+        cl = jnp.max(vl[child_rows, lanes], axis=1)
+        cu = jnp.max(vu[child_rows, lanes], axis=1)
+        cc = 1 + jnp.sum(cnt[child_rows, lanes], axis=1)
+        nvl = jnp.where(has_children, cl, vl)
+        nvu = jnp.where(has_children, cu, vu)
+        ncnt = jnp.where(has_children, cc, cnt)
+        changed = jnp.any((nvl != vl) | (nvu != vu) | (ncnt != cnt))
+        return i + 1, nvl, nvu, ncnt, changed
+
+    _, vl, vu, count, _ = jax.lax.while_loop(
+        sweep_cond, sweep_body, (jnp.int32(0), vl, vu, count, jnp.bool_(True)))
+
+    # -- greedy plan by value_lower, random tie-breaks (as _greedy_plan) -----
+    master = keys[0]
+
+    def plan_body(c, h):
+        node, live = c
+        fc = first_child[node, iota]
+        valid = fc >= 0
+        cids = jnp.where(valid, fc, 0)[None, :] \
+            + jnp.arange(A, dtype=jnp.int32)[:, None]             # [A, B]
+        vals = jnp.where(valid[None, :], vl[cids, iota[None, :]], -jnp.inf)
+        m = jnp.max(vals, axis=0)
+        ties = jnp.where(vals == m[None, :], 0.0, -jnp.inf)
+        g = jax.random.gumbel(jax.random.fold_in(master, h), (A, B), jnp.float32)
+        action = jnp.argmax(ties + g, axis=0).astype(jnp.int32)
+        emit = live & valid
+        node = jnp.where(emit, fc + action, node)
+        return (node, emit), jnp.where(emit, action, -1)
+
+    (_, _), acts = jax.lax.scan(
+        plan_body, (jnp.zeros((B,), jnp.int32), jnp.ones((B,), bool)),
+        jnp.arange(plan_capacity))
+    actions = acts.T
+    lengths = jnp.sum(actions >= 0, axis=1)
+
+    # -- batch-leading OPDTree view (drop-in for the vmapped path) -----------
+    parent = jnp.concatenate(
+        [jnp.full((1, B), -1, jnp.int32), jnp.repeat(expanded, A, axis=0)], axis=0)
+    action_from = jnp.concatenate(
+        [jnp.full((1, B), -1, jnp.int32),
+         jnp.broadcast_to(jnp.tile(jnp.arange(A, dtype=jnp.int32), R)[:, None],
+                          (R * A, B))], axis=0)
+    children = jnp.where(has_children.T[:, :, None],
+                         first_child.T[:, :, None]
+                         + jnp.arange(A, dtype=jnp.int32)[None, None, :], -1)
+    tree = OPDTree(
+        parent=parent.T, action=action_from.T, depth=depth.T, children=children,
+        reward=reward.T, done=done.T, value_lower=vl.T, value_upper=vu.T,
+        leaf=leaf.T, count=count.T,
+        used=jnp.full((B,), N, jnp.int32),
+        states=jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), states))
+    return actions, lengths, tree
 
 
 class DeterministicPlannerAgent(AbstractTreeSearchAgent):

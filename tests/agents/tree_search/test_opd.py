@@ -277,3 +277,33 @@ def test_opd_bit_exact_parity_with_ties():
             num_actions=3, expansions=budget // 3, gamma=0.5, plan_capacity=32)
         ours = [int(a) for a in np.asarray(actions)[:int(length)]]
         assert ours == ref_actions, (seed, ours, ref_actions)
+
+
+def test_opd_batch_fused_matches_vmap_oracle():
+    """The fused [N, B] lane-major batch planner produces bit-identical
+    arenas (bounds, structure, counts) and identical greedy plans to the
+    vmapped single-tree program it replaces on the hot path."""
+    from rl_agents_tpu.agents.tree_search.deterministic import opd_plan_batch_vmap
+    from rl_agents_tpu.envs.finite_mdp import make as make_finite_mdp
+
+    env = make_finite_mdp({
+        "mode": "deterministic",
+        "transition": [[0, 1, 2], [0, 3, 2], [0, 1, 3], [3, 1, 2]],
+        "reward": [[0, 1, 0.9], [0, 0, 0.9], [0, 1, 0], [0, 1, 0.9]],
+        "terminal": [0, 0, 0, 0], "max_episode_steps": 10000})
+    env.reset(seed=0)
+    B = 8
+    states0 = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (B,) + jnp.shape(x)), env.state)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    kwargs = dict(num_actions=3, expansions=10, gamma=0.9, plan_capacity=8)
+
+    af, lf, tf = opd_plan_batch(env.functional, env.params, states0, keys, **kwargs)
+    av, lv, tv = opd_plan_batch_vmap(env.functional, env.params, states0, keys, **kwargs)
+    for field in ("value_lower", "value_upper", "depth", "parent", "children",
+                  "count", "reward", "done", "leaf"):
+        np.testing.assert_array_equal(np.asarray(getattr(tf, field)),
+                                      np.asarray(getattr(tv, field)), err_msg=field)
+    # gamma 0.9 on the loop MDP has no value ties: plans must coincide exactly
+    np.testing.assert_array_equal(np.asarray(af), np.asarray(av))
+    np.testing.assert_array_equal(np.asarray(lf), np.asarray(lv))
