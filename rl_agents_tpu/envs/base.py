@@ -199,6 +199,11 @@ class EnvHandle:
     def observation_space(self):
         return self.functional.observation_space
 
+    def get_available_actions(self):
+        """Discrete action ids at the current state (the reference's planners
+        call this on env copies, e.g. mcts_dpw.py:119-126)."""
+        return list(range(self.functional.action_space.n))
+
     def seed(self, seed: int | None = None):
         if seed is not None:
             self.key = jax.random.PRNGKey(seed)

@@ -8,8 +8,9 @@ with the same observation/action/reward interfaces so planners, DQN and the
 attention models run the same workloads as pure jnp programs:
 
 * vehicles: ego + V-1 traffic on L lanes; traffic follows IDM longitudinal
-  dynamics on fixed lanes; the ego executes highway-env's discrete
-  meta-actions [LANE_LEFT, IDLE, LANE_RIGHT, FASTER, SLOWER]
+  dynamics and MOBIL lane changes (safety + incentive criteria, politeness
+  factor); the ego executes highway-env's discrete meta-actions
+  [LANE_LEFT, IDLE, LANE_RIGHT, FASTER, SLOWER]
 * observation: Kinematics rows [presence, x, y, vx, vy] (ego first, others
   relative to ego and sorted by distance, normalized) — the exact input
   format of the EgoAttentionNetwork configs
@@ -52,6 +53,9 @@ class HighwayParams(NamedTuple):
     right_lane_reward: Any
     high_speed_reward: Any
     obs_scale: Any          # [4] normalization for (x, y, vx, vy)
+    mobil_politeness: Any   # MOBIL politeness factor p (highway-env: 0.0)
+    mobil_min_gain: Any     # MOBIL acceleration-gain threshold [m/s^2]
+    mobil_b_safe: Any       # max braking imposed on the new follower [m/s^2]
 
 
 class HighwayState(NamedTuple):
@@ -94,6 +98,11 @@ class HighwayEnv(FunctionalEnv):
             right_lane_reward=jnp.float32(0.1),
             high_speed_reward=jnp.float32(0.4),
             obs_scale=jnp.array([100.0, 100.0, 20.0, 20.0]),
+            # highway-env IDMVehicle defaults (behavior.py: POLITENESS=0,
+            # LANE_CHANGE_MIN_ACC_GAIN=0.2, LANE_CHANGE_MAX_BRAKING_IMPOSED=2)
+            mobil_politeness=jnp.float32(0.0),
+            mobil_min_gain=jnp.float32(0.2),
+            mobil_b_safe=jnp.float32(2.0),
         )
 
     # ------------------------------------------------------------------
@@ -115,24 +124,39 @@ class HighwayEnv(FunctionalEnv):
         return state, self.observe(params, state)
 
     # ------------------------------------------------------------------
-    def _idm_acceleration(self, params, state: HighwayState, target_speed):
-        """IDM longitudinal model: follow the closest leader in-lane."""
-        V = self.vehicles
-        x, speed = state.x, state.speed
-        same_lane = jnp.abs(state.lane[None, :] - state.lane[:, None]) < 0.5
+    @staticmethod
+    def _neighbor_stats(x, speed, own_lane, other_lane, alive, ahead_dir: bool):
+        """Per-vehicle closest in-lane neighbor via gather-free masked
+        reductions (no indexed gathers: keeps the step lowerable in kernels).
+
+        ``own_lane[i]`` is the (possibly candidate) lane vehicle i is
+        evaluated in; other vehicles sit at their actual ``other_lane``.
+        Returns (has_neighbor, gap_min, neighbor_speed) with gap measured
+        center-to-center along x, toward the leader if ``ahead_dir`` else
+        toward the follower.
+        """
+        same_lane = jnp.abs(other_lane[None, :] - own_lane[:, None]) < 0.5
         # bool arrays never get trailing dims inserted (Mosaic restriction);
         # widen through f32 for the pairwise alive mask
-        alive_f = state.alive.astype(jnp.float32)
+        alive_f = alive.astype(jnp.float32)
         pair_alive = (alive_f[None, :] * alive_f[:, None]) > 0
-        ahead = (x[None, :] > x[:, None]) & same_lane & pair_alive
-        # gather-free leader lookup (masked reductions instead of indexed
-        # gathers: keeps the step lowerable inside Pallas kernels)
-        gap = jnp.where(ahead, x[None, :] - x[:, None], jnp.inf)
+        if ahead_dir:
+            mask = (x[None, :] > x[:, None]) & same_lane & pair_alive
+            gap = jnp.where(mask, x[None, :] - x[:, None], jnp.inf)
+        else:
+            mask = (x[None, :] < x[:, None]) & same_lane & pair_alive
+            gap = jnp.where(mask, x[:, None] - x[None, :], jnp.inf)
         gap_min = jnp.min(gap, axis=1)
-        has_leader = jnp.isfinite(gap_min)
-        lead_mask = ahead & (gap <= gap_min[:, None])
-        lead_count = jnp.maximum(jnp.sum(lead_mask, axis=1), 1)
-        leader_speed = jnp.sum(jnp.where(lead_mask, speed[None, :], 0.0), axis=1) / lead_count
+        has = jnp.isfinite(gap_min)
+        near = mask & (gap <= gap_min[:, None])
+        count = jnp.maximum(jnp.sum(near, axis=1), 1)
+        nb_speed = jnp.sum(jnp.where(near, speed[None, :], 0.0), axis=1) / count
+        return has, gap_min, nb_speed
+
+    @staticmethod
+    def _idm_from_leader(params, speed, target_speed, has_leader, gap_min,
+                         leader_speed):
+        """IDM acceleration given precomputed leader stats."""
         d = jnp.minimum(jnp.where(has_leader, gap_min, 1e4) - VEHICLE_LENGTH, 1e4)
         dv = speed - leader_speed
         s_star = params.idm_s0 + speed * params.idm_t0 \
@@ -140,6 +164,66 @@ class HighwayEnv(FunctionalEnv):
         interaction = jnp.where(has_leader, (jnp.maximum(s_star, 0.0) / jnp.maximum(d, 1.0)) ** 2, 0.0)
         acc = params.idm_a * (1 - (speed / jnp.maximum(target_speed, 1.0)) ** 4 - interaction)
         return jnp.clip(acc, -params.idm_b, params.idm_a)
+
+    def _idm_acceleration(self, params, state: HighwayState, target_speed):
+        """IDM longitudinal model: follow the closest leader in-lane."""
+        has, gap_min, lead_speed = self._neighbor_stats(
+            state.x, state.speed, state.lane, state.lane, state.alive, True)
+        return self._idm_from_leader(params, state.speed, target_speed,
+                                     has, gap_min, lead_speed)
+
+    def _mobil_target_lanes(self, params, state: HighwayState, target_lane,
+                            traffic_target_speed):
+        """MOBIL lane-change decision for traffic, fully vectorized
+        (highway-env behavior.py IDMVehicle.mobil: safety criterion — the new
+        follower's imposed braking stays under ``mobil_b_safe`` — and
+        incentive criterion — own IDM gain plus politeness-weighted follower
+        gains exceeds ``mobil_min_gain``). Each vehicle's candidate move is
+        evaluated independently against the others' current lanes; settled
+        vehicles only (a change completes before the next is considered),
+        never the ego (its lateral moves are meta-actions).
+        """
+        V, L = self.vehicles, self.lanes
+        x, speed, lane, alive = state.x, state.speed, state.lane, state.alive
+        ts = traffic_target_speed
+
+        # current-lane stats: own acc, old follower (who gains when we leave)
+        has_l, gap_l, speed_l = self._neighbor_stats(x, speed, lane, lane, alive, True)
+        acc_here = self._idm_from_leader(params, speed, ts, has_l, gap_l, speed_l)
+        has_f, gap_f, speed_f = self._neighbor_stats(x, speed, lane, lane, alive, False)
+        # old follower's acc while following us, and after we leave (it
+        # inherits our leader at gap_f + gap_l)
+        f_old_acc = self._idm_from_leader(params, speed_f, ts, has_f, gap_f, speed)
+        f_after_acc = self._idm_from_leader(params, speed_f, ts, has_f & has_l,
+                                            gap_f + gap_l, speed_l)
+        old_follower_gain = jnp.where(has_f, f_after_acc - f_old_acc, 0.0)
+
+        def candidate(delta):
+            cand = lane + delta
+            valid = (cand >= -0.25) & (cand <= L - 0.75)
+            nh_l, ng_l, ns_l = self._neighbor_stats(x, speed, cand, lane, alive, True)
+            acc_new = self._idm_from_leader(params, speed, ts, nh_l, ng_l, ns_l)
+            nh_f, ng_f, ns_f = self._neighbor_stats(x, speed, cand, lane, alive, False)
+            # new follower: acc before (following our new leader) and after
+            # (following us) the change
+            nf_before = self._idm_from_leader(params, ns_f, ts, nh_f & nh_l,
+                                              ng_f + ng_l, ns_l)
+            nf_after = self._idm_from_leader(params, ns_f, ts, nh_f, ng_f, speed)
+            safe = ~nh_f | (nf_after >= -params.mobil_b_safe)
+            new_follower_gain = jnp.where(nh_f, nf_after - nf_before, 0.0)
+            gain = acc_new - acc_here + params.mobil_politeness * (
+                new_follower_gain + old_follower_gain)
+            ok = valid & safe & (gain > params.mobil_min_gain)
+            return ok, gain
+
+        ok_left, gain_left = candidate(-1.0)
+        ok_right, gain_right = candidate(1.0)
+        left_wins = ok_left & (~ok_right | (gain_left >= gain_right))
+        delta = jnp.where(left_wins, -1, 0) + jnp.where(ok_right & ~left_wins, 1, 0)
+        settled = jnp.abs(lane - target_lane.astype(jnp.float32)) < 0.05
+        is_traffic = jnp.arange(V) != 0
+        change = settled & is_traffic & alive & (delta != 0)
+        return jnp.clip(target_lane + jnp.where(change, delta, 0), 0, L - 1)
 
     def step(self, params: HighwayParams, state: HighwayState, action, key) -> StepOut:
         out = self.transition(params, state, action, key)
@@ -160,6 +244,9 @@ class HighwayEnv(FunctionalEnv):
         is_ego = jnp.arange(V) == 0
         lane_delta = jnp.where(action == LANE_LEFT, -1, 0) + jnp.where(action == LANE_RIGHT, 1, 0)
         target_lane = jnp.clip(state.target_lane + jnp.where(is_ego, lane_delta, 0), 0, L - 1)
+        # traffic MOBIL lane changes (ego excluded inside)
+        target_lane = self._mobil_target_lanes(params, state, target_lane,
+                                               jnp.float32(25.0))
 
         # --- longitudinal dynamics ------------------------------------
         # traffic follows IDM; the ego tracks its target speed directly (it

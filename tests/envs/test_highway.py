@@ -144,3 +144,67 @@ def test_planner_agent_with_simplify_config():
     agent.seed(0)
     obs, _ = env.reset(seed=0)
     assert agent.act(obs) in range(5)
+
+
+def _state(env, x, lane, speed):
+    from rl_agents_tpu.envs.highway import HighwayState
+
+    V = env.vehicles
+    assert len(x) == V
+    return HighwayState(
+        x=jnp.asarray(x, jnp.float32),
+        lane=jnp.asarray(lane, jnp.float32),
+        target_lane=jnp.asarray(lane, jnp.int32),
+        speed=jnp.asarray(speed, jnp.float32),
+        speed_level=jnp.int32(1),
+        alive=jnp.ones((V,), bool),
+        crashed=jnp.zeros((), bool),
+        t=jnp.zeros((), jnp.int32))
+
+
+def test_mobil_overtakes_slow_leader():
+    """A traffic vehicle blocked behind a slow leader with a free adjacent
+    lane changes lanes (highway-env behavior.py IDMVehicle.mobil)."""
+    from rl_agents_tpu.envs.highway import HighwayEnv
+
+    env = HighwayEnv(vehicles=3, lanes=3)
+    params = env.default_params()
+    # ego parked far behind; vehicle 1 doing 25 m/s blocked by vehicle 2 at
+    # 5 m/s just ahead in the same lane
+    state = _state(env, x=[-500.0, 0.0, 18.0], lane=[0, 1, 1],
+                   speed=[0.0, 25.0, 5.0])
+    key = jax.random.PRNGKey(0)
+    out = env.transition(params, state, jnp.int32(IDLE), key)
+    assert int(out.state.target_lane[1]) != 1  # moved off the blocked lane
+    assert int(out.state.target_lane[2]) == 1  # the slow leader has no gain
+    # and the lateral pull actually moves it over the following steps
+    s = out.state
+    for _ in range(3):
+        s = env.transition(params, s, jnp.int32(IDLE), key).state
+    assert abs(float(s.lane[1]) - float(s.target_lane[1])) < 1e-5
+
+
+def test_mobil_blocked_by_unsafe_follower():
+    """No lane change when it would brake the new follower beyond b_safe."""
+    from rl_agents_tpu.envs.highway import HighwayEnv
+
+    env = HighwayEnv(vehicles=4, lanes=2)
+    params = env.default_params()
+    # vehicle 1 blocked in lane 1; lane 0 has a fast vehicle 3 right behind
+    # the merge point -> unsafe
+    state = _state(env, x=[-500.0, 0.0, 18.0, -3.0], lane=[0, 1, 1, 0],
+                   speed=[0.0, 25.0, 5.0, 35.0])
+    out = env.transition(params, state, jnp.int32(IDLE), jax.random.PRNGKey(0))
+    assert int(out.state.target_lane[1]) == 1  # stayed
+
+
+def test_mobil_never_moves_ego():
+    """The ego's lateral moves are meta-actions only; MOBIL must not touch
+    lane 0's target even when the ego is blocked."""
+    from rl_agents_tpu.envs.highway import HighwayEnv
+
+    env = HighwayEnv(vehicles=2, lanes=3)
+    params = env.default_params()
+    state = _state(env, x=[0.0, 15.0], lane=[1, 1], speed=[25.0, 3.0])
+    out = env.transition(params, state, jnp.int32(IDLE), jax.random.PRNGKey(0))
+    assert int(out.state.target_lane[0]) == 1
