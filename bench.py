@@ -37,7 +37,12 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 # keep a CPU backend available for the reference-baseline measurement even
 # when the driver pins JAX_PLATFORMS to the TPU platform
-if os.environ.get("JAX_PLATFORMS") and "cpu" not in os.environ["JAX_PLATFORMS"]:
+if os.environ.get("BENCH_FORCE_CPU"):
+    # pin the env var too: importing rl_agents_tpu re-applies JAX_PLATFORMS
+    # (its __init__ restores env-var semantics over the axon sitecustomize),
+    # which would otherwise re-enable the dead accelerator mid-bench
+    os.environ["JAX_PLATFORMS"] = "cpu"
+elif os.environ.get("JAX_PLATFORMS") and "cpu" not in os.environ["JAX_PLATFORMS"]:
     os.environ["JAX_PLATFORMS"] += ",cpu"
 
 import jax
@@ -49,6 +54,33 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+if os.environ.get("BENCH_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _probe_device_or_fall_back(timeout_s=120.0):
+    """The tunneled axon device can hang indefinitely (dead tunnel); a hung
+    bench emits no JSON at all. Probe the default device with a trivial
+    program in a daemon thread; if it doesn't answer in ``timeout_s``,
+    re-exec this script pinned to CPU so the driver still gets one honest
+    (and so-labeled) JSON line."""
+    import threading
+
+    if os.environ.get("BENCH_FORCE_CPU"):
+        return
+    done = threading.Event()
+
+    def probe():
+        # backend init happens here too — it can hang just like compute
+        float(jax.jit(lambda x: x + 1.0)(jnp.float32(0)))
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        _log(f"device probe timed out after {timeout_s}s; re-exec on CPU")
+        env = dict(os.environ, BENCH_FORCE_CPU="1")
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
 
 def _log(msg):
     print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
@@ -58,11 +90,15 @@ _T0 = time.time()
 
 EPISODES, HORIZON = 23, 8  # OLOP allocation of budget 184 at gamma 0.95
 GAMMA, TEMPERATURE = 0.95, 40.0
-B = 4096
-REPS = 8
+# the CPU fallback measures the same per-tree program at a smaller batch so
+# the whole bench still finishes; the JSON line carries the actual tree count
+_CPU_FALLBACK = bool(os.environ.get("BENCH_FORCE_CPU"))
+B = 512 if _CPU_FALLBACK else 4096
+REPS = 4 if _CPU_FALLBACK else 8
+_REPEATS = 3 if _CPU_FALLBACK else 5
 
 
-def _wall_median(run, repeats=5):
+def _wall_median(run, repeats=_REPEATS):
     run()  # warm (compile)
     times = []
     for _ in range(repeats):
@@ -174,7 +210,9 @@ def bench_dqn_fused(num_envs=128, steps=500):
     state0 = init_fn(jax.random.PRNGKey(0))
 
     def go():
-        state, _ = segment_fn(state0, steps=steps)
+        # segment_fn donates its input buffers; hand it a fresh copy per run
+        # (on CPU the donated original is actually invalidated)
+        state, _ = segment_fn(jax.tree.map(jnp.copy, state0), steps=steps)
         return float(jax.tree.leaves(state.params)[0].sum())
 
     dt = max(_wall_median(go) - _tunnel_rtt(), 1e-9)
@@ -217,6 +255,7 @@ def bench_reference_mcts_cartpole(trials=3):
 
 def main():
     _log("start")
+    _probe_device_or_fall_back()
     value = bench_mcts_cartpole()
     _log(f"mcts_cartpole done: {value:.3e}")
     extra = {}
@@ -236,9 +275,11 @@ def main():
         baseline = None
     vs = (value / baseline) if baseline else None
     print(json.dumps({
-        "metric": "mcts_cartpole_env_steps_per_sec_4096trees",
+        "metric": f"mcts_cartpole_env_steps_per_sec_{B}trees",
         "value": round(value),
         "unit": "env-steps/s/chip",
+        "device": jax.default_backend(),
+        "trees": B,
         "vs_baseline": round(vs, 1) if vs else None,
         "baseline_method": ("reference python MCTS on gymnasium CartPole-v1 "
                             "(numpy substrate), same budget=184/episodes=23/"

@@ -182,6 +182,9 @@ class HighwayEnv(FunctionalEnv):
         evaluated independently against the others' current lanes; settled
         vehicles only (a change completes before the next is considered),
         never the ego (its lateral moves are meta-actions).
+
+        Returns (new_target_lane, current-lane IDM acceleration) so the
+        caller reuses the leader pass instead of recomputing it.
         """
         V, L = self.vehicles, self.lanes
         x, speed, lane, alive = state.x, state.speed, state.lane, state.alive
@@ -223,7 +226,8 @@ class HighwayEnv(FunctionalEnv):
         settled = jnp.abs(lane - target_lane.astype(jnp.float32)) < 0.05
         is_traffic = jnp.arange(V) != 0
         change = settled & is_traffic & alive & (delta != 0)
-        return jnp.clip(target_lane + jnp.where(change, delta, 0), 0, L - 1)
+        new_target = jnp.clip(target_lane + jnp.where(change, delta, 0), 0, L - 1)
+        return new_target, acc_here
 
     def step(self, params: HighwayParams, state: HighwayState, action, key) -> StepOut:
         out = self.transition(params, state, action, key)
@@ -244,9 +248,10 @@ class HighwayEnv(FunctionalEnv):
         is_ego = jnp.arange(V) == 0
         lane_delta = jnp.where(action == LANE_LEFT, -1, 0) + jnp.where(action == LANE_RIGHT, 1, 0)
         target_lane = jnp.clip(state.target_lane + jnp.where(is_ego, lane_delta, 0), 0, L - 1)
-        # traffic MOBIL lane changes (ego excluded inside)
-        target_lane = self._mobil_target_lanes(params, state, target_lane,
-                                               jnp.float32(25.0))
+        # traffic MOBIL lane changes (ego excluded inside); reuses the
+        # current-lane leader pass for the IDM acceleration below
+        target_lane, idm_acc = self._mobil_target_lanes(
+            params, state, target_lane, jnp.float32(25.0))
 
         # --- longitudinal dynamics ------------------------------------
         # traffic follows IDM; the ego tracks its target speed directly (it
@@ -255,8 +260,6 @@ class HighwayEnv(FunctionalEnv):
         ego_target_speed = jnp.sum(jnp.where(
             jnp.arange(params.target_speeds.shape[0]) == speed_level,
             params.target_speeds, 0.0))
-        idm_acc = self._idm_acceleration(
-            params, state._replace(target_lane=target_lane), jnp.float32(25.0))
         ego_acc = jnp.clip(ego_target_speed - state.speed[0], -params.idm_b, params.idm_a)
         acc = jnp.where(is_ego, ego_acc, idm_acc)  # scatter-free (Mosaic has no scatter)
         speed = jnp.clip(state.speed + acc * params.dt, MIN_SPEED, MAX_SPEED)
