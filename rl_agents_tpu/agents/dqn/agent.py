@@ -225,6 +225,14 @@ class DQNAgent(AbstractStochasticAgent):
     def save(self, filename):
         filename = Path(filename)
         filename.parent.mkdir(parents=True, exist_ok=True)
+        if self.config.get("checkpoint_format") == "orbax":
+            # sharded array checkpoint (multi-host safe, atomic); the tar
+            # name from the reference cadence becomes a directory
+            from rl_agents_tpu.trainer.checkpoint import save_pytree
+
+            save_pytree(filename.with_suffix(".orbax"),
+                        self.train_state._asdict())
+            return filename.with_suffix(".orbax")
         state = {
             "params": serialization.to_bytes(self.train_state.params),
             "target_params": serialization.to_bytes(self.train_state.target_params),
@@ -235,6 +243,15 @@ class DQNAgent(AbstractStochasticAgent):
         return filename
 
     def load(self, filename):
+        filename = Path(filename)
+        if self.config.get("checkpoint_format") == "orbax" \
+                or filename.suffix == ".orbax":
+            from rl_agents_tpu.trainer.checkpoint import load_pytree
+
+            restored = load_pytree(filename.with_suffix(".orbax"),
+                                   template=self.train_state._asdict())
+            self.train_state = TrainState(**restored)
+            return filename
         with open(filename, "rb") as f:
             state = pickle.load(f)
         self.train_state = TrainState(
