@@ -15,8 +15,10 @@ import numpy as np
 from rl_agents_tpu.agents.tree_search.mcts_dpw import mcts_dpw_plan
 from rl_agents_tpu.envs.finite_mdp import make as make_mdp
 
-# 4-state / 3-action stochastic MDP: action 0 drifts toward the rewarding
-# states 0-1, action 2 drifts toward the penalized state 3, action 1 mixes.
+# 4-state / 3-action stochastic MDP: actions 0 and 1 are near-tied (so the
+# recommendation distribution is genuinely mixed and the test discriminates —
+# with a clearly dominant action both planners trivially agree 100%);
+# action 2 drifts toward the worthless state 3.
 STOCH_CONFIG = {
     "mode": "stochastic",
     "transition": [
@@ -26,14 +28,16 @@ STOCH_CONFIG = {
         [[0.3, 0.3, 0.2, 0.2], [0.1, 0.3, 0.3, 0.3], [0.0, 0.1, 0.2, 0.7]],
     ],
     "reward": [
-        [1.0, 0.5, 0.0],
-        [0.9, 0.5, 0.0],
-        [0.5, 0.3, 0.0],
+        [0.55, 0.5, 0.0],
+        [0.5, 0.55, 0.0],
+        [0.4, 0.4, 0.0],
         [0.0, 0.0, 0.0],
     ],
     "terminal": [0, 0, 0, 0],
 }
-EPISODES, HORIZON, GAMMA, TEMPERATURE = 30, 4, 0.8, 1.0
+# measured at this config: ref 82/38/0 vs ours 79/41/0 over 120 seeds
+# (TV 0.025) — mixed recommendations, comfortably inside the 0.2 bound
+EPISODES, HORIZON, GAMMA, TEMPERATURE = 10, 4, 0.8, 1.0
 K_ACTION, ALPHA_ACTION, K_STATE, ALPHA_STATE = 3.0, 0.3, 1.0, 0.3
 SEEDS = 120
 
@@ -119,5 +123,8 @@ def test_mcts_dpw_action_distribution_equivalence():
     ref_p = ref_counts / ref_counts.sum()
     our_p = our_counts / our_counts.sum()
     tv = 0.5 * np.abs(ref_p - our_p).sum()
+    # the regime must actually discriminate: a single dominant action would
+    # make any planner agree trivially
+    assert (ref_counts > 0).sum() >= 2 and (our_counts > 0).sum() >= 2
     assert ref_counts.argmax() == our_counts.argmax()
     assert tv <= 0.2, (ref_counts.tolist(), our_counts.tolist())
