@@ -47,6 +47,37 @@ def save_policy(agent, path, platforms=None) -> Path:
     return path
 
 
+def register_pytree_serialization(*trees):
+    """Register every NamedTuple node type appearing in the given pytrees for
+    ``jax.export`` artifact serialization (idempotent; name = qualified class
+    path). Needed when exporting programs whose inputs are framework pytrees,
+    e.g. a planner taking env-state batches."""
+    seen = set()
+
+    def walk(obj):
+        if isinstance(obj, tuple) and hasattr(obj, "_fields"):
+            cls = type(obj)
+            if cls not in seen:
+                seen.add(cls)
+                try:
+                    jax_export.register_namedtuple_serialization(
+                        cls,
+                        serialized_name=f"{cls.__module__}.{cls.__name__}")
+                except ValueError:
+                    pass  # already registered
+            for value in obj:
+                walk(value)
+        elif isinstance(obj, (list, tuple)):
+            for value in obj:
+                walk(value)
+        elif isinstance(obj, dict):
+            for value in obj.values():
+                walk(value)
+
+    for tree in trees:
+        walk(tree)
+
+
 def load_policy(path):
     """Deserialize a policy artifact into a callable
     ``obs -> (action, q_values)`` — no agent, model or env needed."""
