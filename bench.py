@@ -58,7 +58,7 @@ if os.environ.get("BENCH_FORCE_CPU"):
     jax.config.update("jax_platforms", "cpu")
 
 
-def _probe_device_or_fall_back(timeout_s=120.0):
+def _probe_device_or_fall_back(timeout_s=240.0):
     """The tunneled axon device can hang indefinitely (dead tunnel); a hung
     bench emits no JSON at all. Probe the default device with a trivial
     program in a daemon thread; if it doesn't answer in ``timeout_s``,
