@@ -79,7 +79,8 @@ def _probe_device_or_fall_back(timeout_s=240.0):
     if not done.wait(timeout_s):
         _log(f"device probe timed out after {timeout_s}s; re-exec on CPU")
         env = dict(os.environ, BENCH_FORCE_CPU="1")
-        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__), *sys.argv[1:]], env)
 
 
 def _log(msg):

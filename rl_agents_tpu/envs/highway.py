@@ -226,6 +226,23 @@ class HighwayEnv(FunctionalEnv):
         settled = jnp.abs(lane - target_lane.astype(jnp.float32)) < 0.05
         is_traffic = jnp.arange(V) != 0
         change = settled & is_traffic & alive & (delta != 0)
+        # Concurrent-mover conflict: every candidate was evaluated against the
+        # others' CURRENT lanes, so two simultaneous movers can target the same
+        # gap and merge unphysically (highway-env's change_lane_policy runs
+        # per-vehicle sequentially, so the second mover would have seen the
+        # first). Suppress the REAR mover of any pair entering the same lane
+        # inside the rear's desired IDM gap — the rear is the one whose blind
+        # safety check would have failed.
+        tgt = target_lane + jnp.where(change, delta, 0)
+        idx = jnp.arange(V)
+        pair = change[:, None] & change[None, :] & (idx[:, None] != idx[None, :])
+        same_tgt = pair & (tgt[:, None] == tgt[None, :])
+        i_is_rear = (x[None, :] > x[:, None]) | \
+            ((x[None, :] == x[:, None]) & (idx[None, :] < idx[:, None]))
+        desired_gap = VEHICLE_LENGTH + params.idm_s0 + speed[:, None] * params.idm_t0
+        dist = jnp.abs(x[None, :] - x[:, None])
+        suppressed = jnp.any(same_tgt & i_is_rear & (dist < desired_gap), axis=1)
+        change = change & ~suppressed
         new_target = jnp.clip(target_lane + jnp.where(change, delta, 0), 0, L - 1)
         return new_target, acc_here
 

@@ -169,6 +169,230 @@ def make_actor_learner(env: FunctionalEnv, model, optimizer,
     return init_fn, segment_fn
 
 
+class ShardedActorLearnerState(NamedTuple):
+    """Fused train state with an explicit leading shard axis ``S``.
+
+    The shard axis maps onto the pod mesh's data axes ``(host, dp)`` — each
+    shard owns its env batch, replay ring and PRNG stream, so the program's
+    math is independent of how many devices the axis is laid out over: the
+    8-device pod run and the 1-device run execute the same computation and
+    differ only in reduction order. Params/opt state are replicated across
+    the data axes (and optionally tensor-sharded over ``tp``)."""
+    params: Any            # replicated (or tp-sharded)
+    target_params: Any
+    opt_state: Any
+    buffer: Batch          # [S, C, ...] per-shard replay rings
+    position: Any          # [] i32 — identical across shards by construction
+    size: Any              # [] i32
+    env_states: Any        # [S, E, ...]
+    obs: Any               # [S, E, *obs]
+    episode_return: Any    # [S, E]
+    completed_return: Any  # [] global EMA of completed episode returns
+    completed_count: Any   # [] i32
+    time: Any              # [] i32
+    keys: Any              # [S, 2] per-shard PRNG keys
+
+
+def make_sharded_actor_learner(env: FunctionalEnv, model, optimizer, mesh,
+                               num_shards: int | None = None,
+                               envs_per_shard: int = 8,
+                               capacity: int = 6_250, batch_size: int = 16,
+                               gamma: float = 0.99, double: bool = True,
+                               target_update: int = 1, eps_init: float = 1.0,
+                               eps_final: float = 0.1, eps_tau: float = 5000.0,
+                               learning_starts: int = 32, tp: bool = False):
+    """Fused actor-learner sharded over a pod mesh's data axes.
+
+    This is the end-to-end TPU replacement for the reference's
+    sample-collection backend (reference: trainer/evaluation.py:196-290 —
+    worker processes collecting trajectories, model files as the parameter
+    channel): the collect→replay→update loop is ONE SPMD program in which the
+    env batch and replay rings shard over ``(host, dp)`` (DCN × ICI), the
+    learner params are replicated (tensor-sharded over ``tp`` if present and
+    ``tp=True``), and the gradient mean over the sharded minibatch axis is
+    the psum XLA inserts across the data axes.
+
+    ``capacity``/``batch_size``/``envs_per_shard`` are PER SHARD: the
+    effective learner batch is ``num_shards * batch_size`` and the effective
+    env batch ``num_shards * envs_per_shard``. Returns
+    ``(init_fn, segment_fn, shardings_fn)``; ``shardings_fn(state)`` gives
+    the matching NamedSharding tree (for checkpoint templates and re-layout).
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rl_agents_tpu.parallel.distributed import data_axes
+    from rl_agents_tpu.parallel.mesh import mlp_param_spec
+
+    axes = data_axes(mesh)
+    n_data = int(np.prod([mesh.shape[a] for a in axes]))
+    S = num_shards or n_data
+    if S % n_data:
+        raise ValueError(f"num_shards={S} must divide over {n_data} data-axis devices")
+    E, C, B = envs_per_shard, capacity, batch_size
+    obs_shape = tuple(env.observation_space.shape)
+    use_tp = tp and "tp" in mesh.axis_names
+
+    def _lead(x):
+        return NamedSharding(mesh, P(axes, *([None] * (x.ndim - 1))))
+
+    def _rep(x):
+        return NamedSharding(mesh, P())
+
+    def shardings_fn(state: ShardedActorLearnerState) -> ShardedActorLearnerState:
+        if use_tp:
+            p_spec = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                                  mlp_param_spec(state.params))
+            t_spec = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                                  mlp_param_spec(state.target_params))
+            o_spec = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                                  mlp_param_spec(state.opt_state))
+        else:
+            p_spec = jax.tree.map(_rep, state.params)
+            t_spec = jax.tree.map(_rep, state.target_params)
+            o_spec = jax.tree.map(_rep, state.opt_state)
+        return ShardedActorLearnerState(
+            params=p_spec, target_params=t_spec, opt_state=o_spec,
+            buffer=jax.tree.map(_lead, state.buffer),
+            position=_rep(state.position), size=_rep(state.size),
+            env_states=jax.tree.map(_lead, state.env_states),
+            obs=_lead(state.obs), episode_return=_lead(state.episode_return),
+            completed_return=_rep(state.completed_return),
+            completed_count=_rep(state.completed_count),
+            time=_rep(state.time), keys=_lead(state.keys))
+
+    def init_fn(key):
+        key, kp, ke = jax.random.split(key, 3)
+        dummy = jnp.zeros((1,) + obs_shape, jnp.float32)
+        params = model.init(kp, dummy)
+        env_keys = jax.random.split(ke, S * E).reshape(S, E, 2)
+        env_states, obs = jax.vmap(jax.vmap(env.reset, in_axes=(None, 0)),
+                                   in_axes=(None, 0))(env.default_params(), env_keys)
+        buffer = Batch(
+            state=jnp.zeros((S, C) + obs_shape, jnp.float32),
+            action=jnp.zeros((S, C), jnp.int32),
+            reward=jnp.zeros((S, C), jnp.float32),
+            next_state=jnp.zeros((S, C) + obs_shape, jnp.float32),
+            terminal=jnp.zeros((S, C), bool),
+        )
+        state = ShardedActorLearnerState(
+            params=params, target_params=jax.tree.map(jnp.copy, params),
+            opt_state=optimizer.init(params),
+            buffer=buffer, position=jnp.zeros((), jnp.int32),
+            size=jnp.zeros((), jnp.int32),
+            env_states=env_states, obs=obs.astype(jnp.float32),
+            episode_return=jnp.zeros((S, E)),
+            completed_return=jnp.zeros(()), completed_count=jnp.zeros((), jnp.int32),
+            time=jnp.zeros((), jnp.int32), keys=jax.random.split(key, S))
+        return jax.device_put(state, shardings_fn(state))
+
+    def loss_fn(params, target_params, batch: Batch):
+        q = model.apply(params, batch.state)
+        q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=1)[:, 0]
+        if double:
+            best = jnp.argmax(model.apply(params, batch.next_state), axis=1)
+            q_next = model.apply(target_params, batch.next_state)
+            best_values = jnp.take_along_axis(q_next, best[:, None], axis=1)[:, 0]
+        else:
+            best_values = jnp.max(model.apply(target_params, batch.next_state), axis=1)
+        target = batch.reward + gamma * jnp.where(batch.terminal, 0.0, best_values)
+        return jnp.mean((q_sa - jax.lax.stop_gradient(target)) ** 2)
+
+    def one_step(state: ShardedActorLearnerState, _):
+        params_env = env.default_params()
+        subkeys = jax.vmap(lambda k: jax.random.split(k, 6))(state.keys)  # [S,6,2]
+        ka, kr, ks, kb, km, knext = (subkeys[:, i] for i in range(6))
+
+        # ---- act: epsilon-greedy, per-shard RNG ----------------------
+        eps = eps_final + (eps_init - eps_final) * jnp.exp(
+            -state.time.astype(jnp.float32) / eps_tau)
+        q = model.apply(state.params,
+                        state.obs.reshape((S * E,) + obs_shape)).reshape(S, E, -1)
+        greedy = jnp.argmax(q, axis=-1)
+        random_actions = jax.vmap(
+            lambda k: jax.random.randint(k, (E,), 0, q.shape[-1]))(ka)
+        explore = jax.vmap(lambda k: jax.random.uniform(k, (E,)))(kr) < eps
+        actions = jnp.where(explore, random_actions, greedy)  # [S, E]
+
+        # ---- env step (vectorised per shard), auto-reset -------------
+        step_keys = jax.vmap(lambda k: jax.random.split(k, E))(ks)
+        outs = jax.vmap(jax.vmap(env.step, in_axes=(None, 0, 0, 0)),
+                        in_axes=(None, 0, 0, 0))(
+            params_env, state.env_states, actions, step_keys)
+        done = outs.terminated | outs.truncated  # [S, E]
+        reset_keys = jax.vmap(lambda k: jax.random.split(k, E))(kb)
+        reset_states, reset_obs = jax.vmap(
+            jax.vmap(env.reset, in_axes=(None, 0)), in_axes=(None, 0))(
+            params_env, reset_keys)
+        env_states = jax.tree.map(
+            lambda n, r: jnp.where(done.reshape((S, E) + (1,) * (n.ndim - 2)), r, n),
+            outs.state, reset_states)
+        next_obs = jnp.where(done.reshape((S, E) + (1,) * (outs.obs.ndim - 2)),
+                             reset_obs, outs.obs).astype(jnp.float32)
+
+        # global episode-return bookkeeping (sums psum across the mesh)
+        episode_return = state.episode_return + outs.reward
+        finished = jnp.sum(done.astype(jnp.int32))
+        mean_finished = jnp.sum(jnp.where(done, episode_return, 0.0)) \
+            / jnp.maximum(finished, 1)
+        completed_return = jnp.where(
+            finished > 0,
+            0.95 * state.completed_return + 0.05 * mean_finished,
+            state.completed_return)
+        episode_return = jnp.where(done, 0.0, episode_return)
+
+        # ---- per-shard replay write (E rows each) --------------------
+        idx = (state.position + jnp.arange(E)) % C
+        buffer = Batch(
+            state=state.buffer.state.at[:, idx].set(state.obs),
+            action=state.buffer.action.at[:, idx].set(actions),
+            reward=state.buffer.reward.at[:, idx].set(outs.reward),
+            next_state=state.buffer.next_state.at[:, idx].set(
+                outs.obs.astype(jnp.float32)),
+            terminal=state.buffer.terminal.at[:, idx].set(outs.terminated),
+        )
+        position = (state.position + E) % C
+        size = jnp.minimum(state.size + E, C)
+
+        # ---- learner update: shard-local sampling, global grad mean --
+        sample_idx = jax.vmap(
+            lambda k: jax.random.randint(k, (B,), 0, jnp.maximum(size, 1)))(km)
+        minibatch = jax.tree.map(
+            lambda x: jax.vmap(lambda xs, ids: xs[ids])(x, sample_idx), buffer)
+        flat = jax.tree.map(lambda x: x.reshape((S * B,) + x.shape[2:]), minibatch)
+
+        def do_update(args):
+            params, opt_state = args
+            grads = jax.grad(loss_fn)(params, state.target_params, flat)
+            grads = jax.tree.map(lambda g: jnp.clip(g, -1.0, 1.0), grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        can_train = size >= jnp.maximum(B, learning_starts)
+        params, opt_state = jax.lax.cond(
+            can_train, do_update, lambda a: a, (state.params, state.opt_state))
+        time = state.time + 1
+        target_params = jax.tree.map(
+            lambda p, t: jnp.where(time % target_update == 0, p, t),
+            params, state.target_params)
+
+        new_state = ShardedActorLearnerState(
+            params=params, target_params=target_params, opt_state=opt_state,
+            buffer=buffer, position=position, size=size,
+            env_states=env_states, obs=next_obs,
+            episode_return=episode_return, completed_return=completed_return,
+            completed_count=state.completed_count + finished,
+            time=time, keys=knext)
+        return new_state, outs.reward.mean()
+
+    @partial(jax.jit, static_argnames=("steps",), donate_argnums=(0,))
+    def segment_fn(state: ShardedActorLearnerState, steps: int = 100):
+        state, rewards = jax.lax.scan(one_step, state, None, length=steps)
+        return state, rewards.mean()
+
+    return init_fn, segment_fn, shardings_fn
+
+
 def train_dqn_fused(env: FunctionalEnv, model, total_steps: int = 5000,
                     segment: int = 250, seed: int = 0, lr: float = 5e-4,
                     writer=None, **kwargs):

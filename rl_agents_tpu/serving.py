@@ -59,12 +59,18 @@ def register_pytree_serialization(*trees):
             cls = type(obj)
             if cls not in seen:
                 seen.add(cls)
+                name = f"{cls.__module__}.{cls.__name__}"
                 try:
                     jax_export.register_namedtuple_serialization(
-                        cls,
-                        serialized_name=f"{cls.__module__}.{cls.__name__}")
-                except ValueError:
-                    pass  # already registered
+                        cls, serialized_name=name)
+                except ValueError as e:
+                    # Idempotent re-registration under the SAME name is fine;
+                    # a conflicting earlier registration under a different
+                    # name would make the later export silently wrong — reraise.
+                    # (jax's message quotes the previous serialized_name in
+                    # backticks: "... was with serialized_name `x.NT`.")
+                    if f"`{name}`" not in str(e):
+                        raise
             for value in obj:
                 walk(value)
         elif isinstance(obj, (list, tuple)):

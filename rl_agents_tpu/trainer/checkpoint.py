@@ -68,18 +68,29 @@ class OrbaxCheckpointStore:
         self.manager.close()
 
 
+def _barrier(name: str):
+    """Cross-host barrier; no-op in a single-process run."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def save_pytree(path, tree: Any):
     """One-shot atomic pytree checkpoint at ``path`` (a directory).
 
     Overwrites: orbax silently skips re-saving an existing step, so a stale
     single-step store (e.g. ``latest.orbax`` written every cadence) must be
-    cleared first.
+    cleared first. In a multi-host run the clear happens on process 0 only,
+    fenced by barriers, so no process races another's save against the
+    rmtree (orbax save itself is collective across all processes).
     """
     import shutil
 
     path = Path(path)
-    if path.exists():
+    if jax.process_index() == 0 and path.exists():
         shutil.rmtree(path)
+    _barrier(f"save_pytree:{path}")
     store = OrbaxCheckpointStore(path, max_to_keep=1)
     try:
         return store.save(0, tree)
@@ -89,7 +100,12 @@ def save_pytree(path, tree: Any):
 
 def load_pytree(path, template: Any = None):
     """Restore a ``save_pytree`` checkpoint; ``template`` re-lays-out leaves
-    on its shardings."""
+    on its shardings. Raises ``FileNotFoundError`` without touching the disk
+    when the checkpoint directory is absent (so a ``--recover`` against a
+    missing file never leaves a stray empty store behind)."""
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(f"No checkpoint directory at {path}")
     store = OrbaxCheckpointStore(path, max_to_keep=1)
     try:
         return store.restore(template=template)
