@@ -17,11 +17,26 @@ here is therefore measured as the SLOPE of wall time over a chained
 transfer: t(reps=R) - t(reps=1) over R-1 executions cancels both the RTT
 and the transfer cost, leaving pure device compute.
 
+Roofline accounting: every timed program's FLOP and HBM-byte counts come
+from XLA's own cost analysis of the compiled executable
+(``compiled.cost_analysis()``), so achieved FLOP/s and bytes/s are reported
+per metric, plus MFU against the chip's bf16 peak for the matmul-heavy
+paths (the planners are gather-bound; for those bytes/expansion is the
+meaningful roofline number). The programs run f32, so MFU vs the bf16 peak
+is a lower bound on utilization.
+
 Extra metrics reported in the same JSON line:
   - mcts_highway_steps_per_sec: 4096-tree MCTS on the functional highway env
   - opd_expansions_per_sec: 4096-tree OPD expansions/s (highway)
   - dqn_env_steps_per_sec: fused actor-learner (128 envs, one SGD update per
     env-step batch, matching the reference's target_update=1 recipe)
+  - dqn_ego_attention_env_steps_per_sec: the flagship EgoAttentionNetwork
+    fused learner on highway — the matmul-heavy, MFU-meaningful workload
+
+A successful device run persists its JSON to ``BENCH_last_device.json``;
+when the accelerator tunnel is dead the CPU-fallback line attaches that
+artifact as ``last_device_run`` so a dead tunnel never erases the perf
+record.
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -57,13 +72,16 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 if os.environ.get("BENCH_FORCE_CPU"):
     jax.config.update("jax_platforms", "cpu")
 
+_LAST_DEVICE_PATH = Path(__file__).parent / "BENCH_last_device.json"
 
-def _probe_device_or_fall_back(timeout_s=240.0):
+
+def _probe_device_or_fall_back(attempts=3, window_s=120.0):
     """The tunneled axon device can hang indefinitely (dead tunnel); a hung
     bench emits no JSON at all. Probe the default device with a trivial
-    program in a daemon thread; if it doesn't answer in ``timeout_s``,
-    re-exec this script pinned to CPU so the driver still gets one honest
-    (and so-labeled) JSON line."""
+    program in a daemon thread, retrying ``attempts`` windows of ``window_s``
+    (the tunnel sometimes comes up late); if it never answers, re-exec this
+    script pinned to CPU so the driver still gets one honest (and
+    so-labeled) JSON line."""
     import threading
 
     if os.environ.get("BENCH_FORCE_CPU"):
@@ -76,11 +94,15 @@ def _probe_device_or_fall_back(timeout_s=240.0):
         done.set()
 
     threading.Thread(target=probe, daemon=True).start()
-    if not done.wait(timeout_s):
-        _log(f"device probe timed out after {timeout_s}s; re-exec on CPU")
-        env = dict(os.environ, BENCH_FORCE_CPU="1")
-        os.execve(sys.executable,
-                  [sys.executable, os.path.abspath(__file__), *sys.argv[1:]], env)
+    for attempt in range(1, attempts + 1):
+        if done.wait(window_s):
+            return
+        _log(f"device probe: no answer after window {attempt}/{attempts} "
+             f"({window_s:.0f}s each)")
+    _log(f"device probe timed out after {attempts}x{window_s:.0f}s; re-exec on CPU")
+    env = dict(os.environ, BENCH_FORCE_CPU="1")
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__), *sys.argv[1:]], env)
 
 
 def _log(msg):
@@ -97,6 +119,22 @@ _CPU_FALLBACK = bool(os.environ.get("BENCH_FORCE_CPU"))
 B = 512 if _CPU_FALLBACK else 4096
 REPS = 4 if _CPU_FALLBACK else 8
 _REPEATS = 3 if _CPU_FALLBACK else 5
+
+# bf16 peak FLOP/s per chip by device kind (public spec sheets). The bench
+# programs run f32, so MFU vs these peaks is a lower bound.
+_PEAK_BF16 = {
+    "v2": 45e12, "v3": 123e12, "v4": 275e12,
+    "v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
+    "v6 lite": 918e12, "v6e": 918e12,
+}
+
+
+def _peak_flops():
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in sorted(_PEAK_BF16.items(), key=lambda kv: -len(kv[0])):
+        if key in kind:
+            return peak
+    return None
 
 
 def _wall_median(run, repeats=_REPEATS):
@@ -124,12 +162,45 @@ def _tunnel_rtt():
     return _RTT
 
 
+def _cost(compiled):
+    """XLA's FLOP / HBM-byte estimate of a compiled executable."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception as e:  # pragma: no cover - backend without cost analysis
+        _log(f"cost_analysis unavailable: {e}")
+        return None, None
+
+
+def _roofline(flops_per_op, bytes_per_op, ops_per_sec, work_per_op, mfu=False):
+    """Per-metric roofline fields: XLA-counted FLOPs/bytes per unit of work
+    (env step / expansion), achieved FLOP/s and HBM bytes/s at the measured
+    rate, and MFU vs the chip's bf16 peak for matmul-heavy paths."""
+    if flops_per_op is None:
+        return None
+    out = {
+        "flops_per_unit": round(flops_per_op / work_per_op, 1),
+        "hbm_bytes_per_unit": round(bytes_per_op / work_per_op, 1),
+        "achieved_flops_per_sec": round(flops_per_op * ops_per_sec),
+        "achieved_hbm_bytes_per_sec": round(bytes_per_op * ops_per_sec),
+    }
+    peak = _peak_flops()
+    if mfu:
+        out["mfu_vs_bf16_peak"] = (round(flops_per_op * ops_per_sec / peak, 5)
+                                   if peak else None)
+    return out
+
+
 def chained_seconds_per_op(make_step):
     """True device seconds per op: wall time of REPS chained (data-dependent)
     repetitions in one program, minus the measured dispatch/transfer RTT,
     divided by REPS. ``make_step(carry) -> scalar`` must make each repetition
     depend on the previous one so the device cannot overlap them.
-    """
+
+    Returns ``(seconds_per_op, flops_per_op, bytes_per_op)`` with the FLOP /
+    byte counts taken from XLA's cost analysis of the timed executable."""
     @jax.jit
     def many():
         def step(c, _):
@@ -137,8 +208,13 @@ def chained_seconds_per_op(make_step):
         c, _ = jax.lax.scan(step, jnp.float32(0), None, length=REPS)
         return c
 
+    compiled = many.lower().compile()
+    flops, bytes_ = _cost(compiled)
     tr = _wall_median(lambda: float(many()))
-    return max((tr - _tunnel_rtt()) / REPS, 1e-9)
+    dt = max((tr - _tunnel_rtt()) / REPS, 1e-9)
+    return (dt,
+            flops / REPS if flops is not None else None,
+            bytes_ / REPS if bytes_ is not None else None)
 
 
 def bench_mcts(env, num_actions):
@@ -155,8 +231,9 @@ def bench_mcts(env, num_actions):
                                   num_actions, EPISODES, HORIZON, GAMMA, TEMPERATURE)
         return jnp.sum(a).astype(jnp.float32) * 1e-9
 
-    dt = chained_seconds_per_op(step)
-    return B * EPISODES * HORIZON / dt
+    dt, flops, bytes_ = chained_seconds_per_op(step)
+    env_steps = B * EPISODES * HORIZON
+    return env_steps / dt, _roofline(flops, bytes_, 1.0 / dt, env_steps)
 
 
 def bench_mcts_cartpole():
@@ -169,11 +246,14 @@ def bench_mcts_cartpole():
 def bench_mcts_highway():
     from rl_agents_tpu.envs.highway import HighwayEnv
 
-    return bench_mcts(HighwayEnv(vehicles=15, lanes=4, max_episode_steps=40), 5)
+    value, roof = bench_mcts(HighwayEnv(vehicles=15, lanes=4,
+                                        max_episode_steps=40), 5)
+    return value, roof
 
 
 def bench_opd_highway(expansions=46):
-    """4096-tree OPD on highway → node expansions/s (budget 230 / 5 actions)."""
+    """4096-tree OPD on highway → node expansions/s (budget 230 / 5 actions).
+    Gather-bound: the roofline number that matters is bytes/expansion."""
     from rl_agents_tpu.agents.tree_search.deterministic import opd_plan_batch
     from rl_agents_tpu.envs.highway import HighwayEnv
 
@@ -189,26 +269,21 @@ def bench_opd_highway(expansions=46):
                                  plan_capacity=8)
         return jnp.sum(a).astype(jnp.float32) * 1e-9
 
-    dt = chained_seconds_per_op(step)
-    return B * expansions / dt
+    dt, flops, bytes_ = chained_seconds_per_op(step)
+    n_exp = B * expansions
+    return n_exp / dt, _roofline(flops, bytes_, 1.0 / dt, n_exp)
 
 
-def bench_dqn_fused(num_envs=128, steps=500):
-    """Fused actor-learner on CartPole: env-steps/s with one SGD/env-step.
-    The segment is already one chained on-device scan; slope over two
-    segment lengths cancels RTT + transfer."""
+def _bench_fused(env, model, num_envs, steps, **kwargs):
+    """Shared fused actor-learner timing: env-steps/s + roofline."""
     import optax
 
-    from rl_agents_tpu.envs.cartpole import CartPoleEnv
-    from rl_agents_tpu.models import MultiLayerPerceptron
     from rl_agents_tpu.parallel.actor_learner import make_actor_learner
 
-    env = CartPoleEnv(max_episode_steps=200)
-    model = MultiLayerPerceptron(layers=(64, 64), out=2)
     init_fn, segment_fn = make_actor_learner(env, model, optax.adam(5e-4),
-                                             num_envs=num_envs, capacity=50_000,
-                                             batch_size=100)
+                                             num_envs=num_envs, **kwargs)
     state0 = init_fn(jax.random.PRNGKey(0))
+    flops, bytes_ = _cost(segment_fn.lower(state0, steps=steps).compile())
 
     def go():
         # segment_fn donates its input buffers; hand it a fresh copy per run
@@ -217,7 +292,35 @@ def bench_dqn_fused(num_envs=128, steps=500):
         return float(jax.tree.leaves(state.params)[0].sum())
 
     dt = max(_wall_median(go) - _tunnel_rtt(), 1e-9)
-    return steps * num_envs / dt
+    env_steps = steps * num_envs
+    return env_steps / dt, _roofline(flops, bytes_, 1.0 / dt, env_steps, mfu=True)
+
+
+def bench_dqn_fused(num_envs=128, steps=500):
+    """Fused actor-learner on CartPole: env-steps/s with one SGD/env-step.
+    The segment is already one chained on-device scan; slope over segment
+    length cancels RTT + transfer."""
+    from rl_agents_tpu.envs.cartpole import CartPoleEnv
+    from rl_agents_tpu.models import MultiLayerPerceptron
+
+    return _bench_fused(CartPoleEnv(max_episode_steps=200),
+                        MultiLayerPerceptron(layers=(64, 64), out=2),
+                        num_envs, steps, capacity=50_000, batch_size=100)
+
+
+def bench_dqn_ego_attention(num_envs=64, steps=100):
+    """Flagship EgoAttentionNetwork fused learner on the functional highway
+    env (BASELINE configs 4-5 recipe: ego_attention.json) — the matmul-heavy
+    workload whose MFU answers 'is the learner actually fast'."""
+    from rl_agents_tpu.envs.highway import HighwayEnv
+    from rl_agents_tpu.models import EgoAttentionNetwork
+
+    model = EgoAttentionNetwork(out=5, embedding_layers=(64, 64),
+                                others_embedding_layers=(64, 64),
+                                output_layers=(64,), feature_size=64, heads=4)
+    return _bench_fused(HighwayEnv(vehicles=15, lanes=4, max_episode_steps=40),
+                        model, num_envs, steps,
+                        capacity=10_000, batch_size=64)
 
 
 def bench_reference_mcts_cartpole(trials=3):
@@ -257,14 +360,20 @@ def bench_reference_mcts_cartpole(trials=3):
 def main():
     _log("start")
     _probe_device_or_fall_back()
-    value = bench_mcts_cartpole()
+    value, head_roof = bench_mcts_cartpole()
     _log(f"mcts_cartpole done: {value:.3e}")
-    extra = {}
+    extra, roofline = {}, {"device_kind": jax.devices()[0].device_kind,
+                           "peak_flops_bf16": _peak_flops(),
+                           "mcts_cartpole": head_roof}
     for name, fn in [("mcts_highway_steps_per_sec", bench_mcts_highway),
                      ("opd_highway_expansions_per_sec", bench_opd_highway),
-                     ("dqn_fused_env_steps_per_sec", bench_dqn_fused)]:
+                     ("dqn_fused_env_steps_per_sec", bench_dqn_fused),
+                     ("dqn_ego_attention_env_steps_per_sec",
+                      bench_dqn_ego_attention)]:
         try:
-            extra[name] = round(fn())
+            val, roof = fn()
+            extra[name] = round(val)
+            roofline[name.rsplit("_per_sec", 1)[0]] = roof
             _log(f"{name} done: {extra[name]:.3e}")
         except Exception as e:  # pragma: no cover - report partial results
             print(f"{name} failed: {e}", file=sys.stderr)
@@ -275,7 +384,7 @@ def main():
         print(f"reference baseline failed: {e}", file=sys.stderr)
         baseline = None
     vs = (value / baseline) if baseline else None
-    print(json.dumps({
+    record = {
         "metric": f"mcts_cartpole_env_steps_per_sec_{B}trees",
         "value": round(value),
         "unit": "env-steps/s/chip",
@@ -290,7 +399,22 @@ def main():
                           "forced scalar transfer (cancels tunnel RTT; "
                           "block_until_ready is enqueue-only on axon)"),
         "extra": extra,
-    }))
+        "roofline": roofline,
+    }
+    if jax.default_backend() != "cpu":
+        try:
+            _LAST_DEVICE_PATH.write_text(json.dumps(
+                dict(record, recorded_at=time.strftime("%Y-%m-%dT%H:%M:%S"))))
+        except OSError as e:  # pragma: no cover
+            _log(f"could not persist last_device_run: {e}")
+    elif _LAST_DEVICE_PATH.exists():
+        # dead tunnel: the CPU line carries the most recent device record so
+        # the perf evidence of record survives the fallback
+        try:
+            record["last_device_run"] = json.loads(_LAST_DEVICE_PATH.read_text())
+        except (OSError, ValueError):
+            pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -404,6 +404,13 @@ def opd_plan_batch(env: FunctionalEnv, params, states0, keys, num_actions: int,
     Returns (actions [B, P], lengths [B], tree) with ``tree`` a
     batch-leading OPDTree view, like the vmapped path.
     """
+    from rl_agents_tpu.ops.onehot import (
+        gather_rows,
+        gather_rows_tree,
+        row_onehot,
+        scatter_rows,
+    )
+
     A, R = num_actions, expansions
     N = 1 + R * A
     flat0 = jax.tree.leaves(states0)
@@ -441,10 +448,15 @@ def opd_plan_batch(env: FunctionalEnv, params, states0, keys, num_actions: int,
         # max == earliest-created leaf (rows are in creation order),
         # matching the reference's insertion-ordered max() tie-break
 
-        leaf_state = jax.tree.map(lambda x: x[leaf_idx, iota], states)  # [B, ...]
-        d = depth[leaf_idx, iota] + 1                                   # [B]
-        vl_leaf = vl[leaf_idx, iota]
-        done_leaf = done[leaf_idx, iota]
+        # batch-varying row gathers as dense one-hot reductions — the
+        # per-lane advanced-indexing lowering costs ~10-20 ms per call on
+        # TPU at B=4096 and dominated the whole planner (r2 roofline: 0.4%
+        # of HBM bandwidth); the one-hot stream runs at memory speed
+        oh = row_onehot(leaf_idx, N)                                    # [N, B]
+        leaf_state = gather_rows_tree(states, oh)                       # [B, ...]
+        d = gather_rows(depth, oh) + 1                                  # [B]
+        vl_leaf = gather_rows(vl, oh)
+        done_leaf = gather_rows(done, oh)
 
         outs = step_env(params, leaf_state, actions_block, zero_keys)   # [A, B]
         r = outs.reward.astype(jnp.float32)
@@ -465,8 +477,8 @@ def opd_plan_batch(env: FunctionalEnv, params, states0, keys, num_actions: int,
         done = put(done, child_done)
         depth = put(depth, jnp.broadcast_to(d[None, :], (A, B)))
         reward = put(reward, r)
-        leaf = put(leaf, jnp.ones((A, B), bool)).at[leaf_idx, iota].set(False)
-        first_child = first_child.at[leaf_idx, iota].set(base)
+        leaf = put(leaf, jnp.ones((A, B), bool)) & ~oh
+        first_child = scatter_rows(first_child, oh, base)
         expanded = expanded.at[i].set(leaf_idx)
         return states, vl, vu, leaf, done, depth, reward, first_child, expanded
 
@@ -474,41 +486,42 @@ def opd_plan_batch(env: FunctionalEnv, params, states0, keys, num_actions: int,
         jax.lax.fori_loop(0, R, round_fn, (states, vl, vu, leaf, done, depth,
                                            reward, first_child, expanded))
 
-    # -- bottom-up consolidation (same fixed point as _finalize_bounds) ------
-    child_rows = jnp.where(first_child >= 0, first_child, 0)[:, None, :] \
-        + jnp.arange(A, dtype=jnp.int32)[None, :, None]          # [N, A, B]
+    # -- bottom-up consolidation: ONE exact reverse-topological pass ---------
+    # children are always created at higher row indices than their parent, so
+    # walking rounds in reverse finalizes each interior node exactly once —
+    # the same fixed point as _finalize_bounds (f32 max is exact) without the
+    # depth-many [N, A, B] gather sweeps of the old while_loop.
     has_children = first_child >= 0                               # [N, B]
-    lanes = jnp.broadcast_to(iota[None, None, :], (N, A, B))
     count = jnp.ones((N, B), jnp.int32)
 
-    def sweep_cond(c):
-        i, _, _, _, changed = c
-        return (i < R + 1) & changed
+    def consolidate(j, c):
+        vl, vu, cnt = c
+        r = R - 1 - j
+        base = 1 + r * A
 
-    def sweep_body(c):
-        i, vl, vu, cnt, _ = c
-        cl = jnp.max(vl[child_rows, lanes], axis=1)
-        cu = jnp.max(vu[child_rows, lanes], axis=1)
-        cc = 1 + jnp.sum(cnt[child_rows, lanes], axis=1)
-        nvl = jnp.where(has_children, cl, vl)
-        nvu = jnp.where(has_children, cu, vu)
-        ncnt = jnp.where(has_children, cc, cnt)
-        changed = jnp.any((nvl != vl) | (nvu != vu) | (ncnt != cnt))
-        return i + 1, nvl, nvu, ncnt, changed
+        def rows(arr):  # [A, B] child block — batch-invariant slice
+            return jax.lax.dynamic_slice_in_dim(arr, base, A, axis=0)
 
-    _, vl, vu, count, _ = jax.lax.while_loop(
-        sweep_cond, sweep_body, (jnp.int32(0), vl, vu, count, jnp.bool_(True)))
+        oh = row_onehot(expanded[r], N)
+        vl = scatter_rows(vl, oh, jnp.max(rows(vl), axis=0))
+        vu = scatter_rows(vu, oh, jnp.max(rows(vu), axis=0))
+        cnt = scatter_rows(cnt, oh, 1 + jnp.sum(rows(cnt), axis=0))
+        return vl, vu, cnt
+
+    vl, vu, count = jax.lax.fori_loop(0, R, consolidate, (vl, vu, count))
 
     # -- greedy plan by value_lower, random tie-breaks (as _greedy_plan) -----
     master = keys[0]
 
     def plan_body(c, h):
         node, live = c
-        fc = first_child[node, iota]
+        oh_node = row_onehot(node, N)
+        fc = gather_rows(first_child, oh_node)
         valid = fc >= 0
-        cids = jnp.where(valid, fc, 0)[None, :] \
-            + jnp.arange(A, dtype=jnp.int32)[:, None]             # [A, B]
-        vals = jnp.where(valid[None, :], vl[cids, iota[None, :]], -jnp.inf)
+        fc0 = jnp.where(valid, fc, 0)
+        vals = jnp.stack([gather_rows(vl, row_onehot(fc0 + a, N))
+                          for a in range(A)])                     # [A, B]
+        vals = jnp.where(valid[None, :], vals, -jnp.inf)
         m = jnp.max(vals, axis=0)
         ties = jnp.where(vals == m[None, :], 0.0, -jnp.inf)
         g = jax.random.gumbel(jax.random.fold_in(master, h), (A, B), jnp.float32)

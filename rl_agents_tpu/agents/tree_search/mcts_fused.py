@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from rl_agents_tpu.agents.tree_search.mcts import MCTSTree
+from rl_agents_tpu.ops.onehot import gather_rows, row_onehot, scatter_rows
 
 
 class _Arena(NamedTuple):
@@ -91,21 +92,26 @@ def mcts_plan_batch_fused(env, params, states0, keys, prior_probs, rollout_probs
             arena, state, node, in_tree, terminal, total, visited, weights = c
             ka = jax.random.fold_in(kep, h)
 
-            fc = arena.first_child[node, batch_iota]           # [B]
+            # batch-varying row gathers/scatters as dense one-hot streams
+            # (per-lane advanced indexing is the TPU pathology — see
+            # ops/onehot.py; this took OPD from 52k to 10M expansions/s)
+            oh_node = row_onehot(node, N)                       # [N, B]
+            fc = gather_rows(arena.first_child, oh_node)        # [B]
             has_children = fc >= 0
 
             # -- inline expansion at first leaf (reference mcts.py:151-154) --
             do_expand = in_tree & ~has_children                 # in_tree ⇒ ~terminal
             arena = arena._replace(
-                first_child=arena.first_child.at[node, batch_iota].set(
-                    jnp.where(do_expand, base, fc)),
+                first_child=scatter_rows(arena.first_child,
+                                         oh_node & do_expand[None, :], base),
                 expansions=arena.expansions + do_expand.astype(jnp.int32))
 
             # -- action: UCT while descending, rollout policy otherwise ------
-            child_ids = jnp.where(has_children, fc, 0)[None, :] \
-                + jnp.arange(A, dtype=jnp.int32)[:, None]       # [A, B]
-            cvals = arena.value[child_ids, batch_iota[None, :]]
-            ccnts = arena.count[child_ids, batch_iota[None, :]]
+            fc0 = jnp.where(has_children, fc, 0)
+            cvals = jnp.stack([gather_rows(arena.value, row_onehot(fc0 + a, N))
+                               for a in range(A)])              # [A, B]
+            ccnts = jnp.stack([gather_rows(arena.count, row_onehot(fc0 + a, N))
+                               for a in range(A)])
             scores = cvals + bonus / (ccnts + 1.0)
             m = jnp.max(scores, axis=0)
             tie_logits = jnp.where(scores == m[None, :], 0.0, -jnp.inf)
@@ -144,14 +150,17 @@ def mcts_plan_batch_fused(env, params, states0, keys, prior_probs, rollout_probs
              visited0, weights0))
 
         # -- backup: one pass over the recorded path (reference mcts.py:248-265)
-        # path nodes are distinct within a tree, so the per-node running-mean
-        # updates commute and can be applied in a single gather/scatter pair.
-        bcols = jnp.broadcast_to(batch_iota[None, :], (H + 1, B))
-        count = arena.count.at[visited, bcols].add(weights)
-        cnt_new = count[visited, bcols]
-        val_old = arena.value[visited, bcols]
+        # path nodes are distinct within a tree (weights mask the rest), so the
+        # per-node running-mean updates commute; the scatter-adds and gathers
+        # are dense one-hot streams over the path-position axis.
+        oh_path = visited[:, None, :] == jnp.arange(N, dtype=jnp.int32)[None, :, None]
+        count = arena.count + jnp.sum(
+            jnp.where(oh_path, weights[:, None, :], 0.0), axis=0)
+        cnt_new = jax.vmap(lambda oh: gather_rows(count, oh))(oh_path)     # [H+1, B]
+        val_old = jax.vmap(lambda oh: gather_rows(arena.value, oh))(oh_path)
         delta = weights * (total[None, :] - val_old) / jnp.maximum(cnt_new, 1.0)
-        value = arena.value.at[visited, bcols].add(delta)
+        value = arena.value + jnp.sum(
+            jnp.where(oh_path, delta[:, None, :], 0.0), axis=0)
         return arena._replace(count=count, value=value), key
 
     arena = _Arena(
@@ -165,14 +174,16 @@ def mcts_plan_batch_fused(env, params, states0, keys, prior_probs, rollout_probs
     # -- plan extraction (reference mcts.py:212-218): max count, ties by value
     def plan_body(c, _):
         node, live = c
-        fc = arena.first_child[node, batch_iota]
+        fc = gather_rows(arena.first_child, row_onehot(node, N))
         valid = fc >= 0
-        child_ids = jnp.where(valid, fc, 0)[None, :] \
-            + jnp.arange(A, dtype=jnp.int32)[:, None]
-        counts = jnp.where(valid[None, :], arena.count[child_ids, batch_iota[None, :]], -1.0)
+        fc0 = jnp.where(valid, fc, 0)
+        counts = jnp.stack([gather_rows(arena.count, row_onehot(fc0 + a, N))
+                            for a in range(A)])
+        counts = jnp.where(valid[None, :], counts, -1.0)
         best = jnp.max(counts, axis=0)
-        vals = jnp.where(counts == best[None, :],
-                         arena.value[child_ids, batch_iota[None, :]], -jnp.inf)
+        cvals = jnp.stack([gather_rows(arena.value, row_onehot(fc0 + a, N))
+                           for a in range(A)])
+        vals = jnp.where(counts == best[None, :], cvals, -jnp.inf)
         action = jnp.argmax(vals, axis=0).astype(jnp.int32)
         emit = live & valid
         node = jnp.where(emit, fc + action, node)

@@ -1,0 +1,397 @@
+"""Equivalence vs the reference for the remaining planner families
+(VERDICT r2 item 4): sparse sampling, GBOP-D, GBOP (stochastic),
+state-aware OPD and MDP-GapE.
+
+Two bars, matching each family's randomness structure:
+
+* **Exact parity** where the computation is deterministic given the MDP:
+  sparse sampling on a deterministic MDP computes the exact Kearns
+  recursion, so root Q-values must match the reference to float tolerance
+  (reference: sparse_sampling.py:71-88); GBOP-D and state-aware OPD on a
+  small deterministic MDP saturate their state graphs, after which the
+  conservative action is independent of tie-break draws — per-seed decision
+  equality (reference: graph_based.py:66-135, state_aware.py:94-137).
+* **Statistical equivalence** where draws interleave through host object
+  traversal (GBOP stochastic, MDP-GapE, sparse sampling on a stochastic
+  MDP): over many fixed seeds on the same MDP, the recommended-action
+  distribution must match within sampling tolerance — the BRUE/DPW harness
+  bar (reference: graph_based_stochastic.py:234-268, mdp_gape.py:60-110).
+"""
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from rl_agents_tpu.envs.finite_mdp import make as make_mdp
+
+# deterministic 4-state loop MDP (same as the BRUE harness)
+LOOP_CONFIG = {
+    "mode": "deterministic",
+    "transition": [[0, 1, 2], [0, 3, 2], [0, 1, 3], [3, 1, 2]],
+    "reward": [[0, 1, 0.9], [0, 0, 0.9], [0, 1, 0], [0, 1, 0.9]],
+    "terminal": [0, 0, 0, 0],
+}
+# stochastic 4-state MDP with near-tied actions 0/1 (the DPW harness regime:
+# mixed recommendations so the test discriminates)
+STOCH_CONFIG = {
+    "mode": "stochastic",
+    "transition": [
+        [[0.7, 0.2, 0.1, 0.0], [0.3, 0.3, 0.3, 0.1], [0.1, 0.1, 0.3, 0.5]],
+        [[0.6, 0.3, 0.1, 0.0], [0.2, 0.4, 0.3, 0.1], [0.0, 0.2, 0.3, 0.5]],
+        [[0.5, 0.3, 0.2, 0.0], [0.2, 0.3, 0.4, 0.1], [0.1, 0.1, 0.3, 0.5]],
+        [[0.3, 0.3, 0.2, 0.2], [0.1, 0.3, 0.3, 0.3], [0.0, 0.1, 0.2, 0.7]],
+    ],
+    "reward": [
+        [0.55, 0.5, 0.0],
+        [0.5, 0.55, 0.0],
+        [0.4, 0.4, 0.0],
+        [0.0, 0.0, 0.0],
+    ],
+    "terminal": [0, 0, 0, 0],
+}
+GAMMA = 0.8
+
+
+def _bootstrap_reference():
+    sys.path.insert(0, "/root/reference")
+    np.infty = np.inf
+    if "numba" not in sys.modules:
+        import types
+
+        numba = types.ModuleType("numba")
+        numba.jit = lambda *a, **k: (lambda f: f)
+        sys.modules["numba"] = numba
+
+
+class _GeneratorShim:
+    """Old RandomState spelling over the Generator the reference seeds."""
+
+    def __init__(self, gen):
+        self._gen = gen
+
+    def randint(self, n):
+        return self._gen.integers(n)
+
+    def __getattr__(self, name):
+        return getattr(self._gen, name)
+
+
+class _FourTupleEnv:
+    """Pre-truncation gym API adapter: reference planners that step env
+    copies directly unpack 4-tuples (e.g. sparse_sampling.py:81)."""
+
+    def __init__(self, handle):
+        self._h = handle
+
+    def step(self, action):
+        obs, reward, term, trunc, _ = self._h.step(action)
+        return obs, reward, term or trunc, {}
+
+    def __getattr__(self, name):
+        return getattr(self._h, name)
+
+
+def _seeded(planner, seed):
+    planner.seed(seed)
+    planner.np_random = _GeneratorShim(planner.np_random)
+    return planner
+
+
+def _tv_assert(ref_counts, our_counts, bound=0.2):
+    ref_p = ref_counts / ref_counts.sum()
+    our_p = our_counts / our_counts.sum()
+    tv = 0.5 * np.abs(ref_p - our_p).sum()
+    # the regime must discriminate: a single dominant action is trivial
+    assert (ref_counts > 0).sum() >= 2 and (our_counts > 0).sum() >= 2
+    assert ref_counts.argmax() == our_counts.argmax()
+    assert tv <= bound, (ref_counts.tolist(), our_counts.tolist(), tv)
+
+
+# ---------------------------------------------------------------------------
+# Sparse sampling
+# ---------------------------------------------------------------------------
+
+def test_sparse_sampling_exact_value_parity():
+    """On a deterministic MDP every sampled transition is identical, so both
+    sides compute the exact finite-horizon recursion: root Q-values must
+    agree to float tolerance (reference: sparse_sampling.py:38-88; its
+    last-sample-reward quirk is invisible here since R depends on (s, a)
+    only)."""
+    from rl_agents_tpu.agents.tree_search.sparse_sampling import sparse_sampling_plan
+
+    _bootstrap_reference()
+    from rl_agents.agents.tree_search.sparse_sampling import SparseSampling
+
+    H, C = 3, 2
+    env = make_mdp(dict(LOOP_CONFIG, max_episode_steps=1000))
+    env.reset(seed=0)
+
+    planner = _seeded(SparseSampling(env, {"gamma": GAMMA, "horizon": H, "C": C,
+                                           "budget": 100}), 0)
+    planner.reset()
+    planner.plan(state=_FourTupleEnv(env.fork()), observation=None)
+    q_ref = np.array([planner.root.children[a].value for a in range(3)])
+
+    action, q_ours = sparse_sampling_plan(
+        env.functional, env.params, env.state, jax.random.PRNGKey(0),
+        num_actions=3, horizon=H, samples=C, gamma=GAMMA)
+    np.testing.assert_allclose(np.asarray(q_ours), q_ref, rtol=1e-5, atol=1e-6)
+    assert int(action) == int(np.argmax(q_ref))
+
+
+def test_sparse_sampling_action_distribution_stochastic():
+    """Stochastic MDP: per-(s,a) sample draws can't be matched one-to-one,
+    so the bar is distributional over 100 seeds. C=1 keeps the estimator
+    noisy enough that the near-tied arms genuinely mix (measured: ref
+    [92, 8, 0] vs ours [95, 5, 0])."""
+    from rl_agents_tpu.agents.tree_search.sparse_sampling import sparse_sampling_plan
+
+    _bootstrap_reference()
+    from rl_agents.agents.tree_search.sparse_sampling import SparseSampling
+
+    H, C, SEEDS = 3, 1, 100
+    env = make_mdp(dict(STOCH_CONFIG, max_episode_steps=1000))
+    env.reset(seed=0)
+
+    ref_counts = np.zeros(3, int)
+    for seed in range(SEEDS):
+        planner = _seeded(SparseSampling(env, {"gamma": GAMMA, "horizon": H,
+                                               "C": C, "budget": 100}), seed)
+        planner.reset()
+        actions = planner.plan(state=_FourTupleEnv(env.fork()), observation=None)
+        ref_counts[int(actions[0])] += 1
+
+    keys = jax.random.split(jax.random.PRNGKey(0), SEEDS)
+    acts, _ = jax.vmap(
+        lambda k: sparse_sampling_plan(env.functional, env.params, env.state, k,
+                                       num_actions=3, horizon=H, samples=C,
+                                       gamma=GAMMA))(keys)
+    our_counts = np.bincount(np.asarray(acts).ravel(), minlength=3)
+    _tv_assert(ref_counts, our_counts)
+
+
+# ---------------------------------------------------------------------------
+# GBOP-D (deterministic graph-based planner)
+# ---------------------------------------------------------------------------
+
+def test_gbop_d_decision_and_bound_parity():
+    """With enough expansions on a 4-state deterministic MDP the obs-keyed
+    graph saturates (every (s, a) edge recorded) and partial VI drives both
+    sides' bounds to the same accuracy fixed point — the conservative root
+    decision is then tie-break independent: exact per-seed equality, plus
+    root interval agreement (reference: graph_based.py:66-135)."""
+    from rl_agents_tpu.agents.tree_search.graph_based import gbop_plan
+
+    _bootstrap_reference()
+    from rl_agents.agents.tree_search.graph_based import GraphBasedPlanner
+
+    EXPANSIONS, ACCURACY, SEEDS = 16, 1e-3, 10
+    env = make_mdp(dict(LOOP_CONFIG, max_episode_steps=1000))
+    obs0, _ = env.reset(seed=0)
+
+    ref_actions, ref_bounds = [], None
+    for seed in range(SEEDS):
+        planner = _seeded(GraphBasedPlanner(env, {
+            "gamma": GAMMA, "budget": EXPANSIONS * 3, "accuracy": ACCURACY,
+            "sampling_timeout": 50, "step_strategy": "reset"}), seed)
+        actions = planner.plan(state=_FourTupleEnv(env.fork()), observation=obs0)
+        ref_actions.append(int(actions[0]))
+        root = planner.nodes[str(obs0)]
+        ref_bounds = (root.value_lower, root.value_upper)
+
+    our_actions = []
+    for seed in range(SEEDS):
+        actions, length, graph = gbop_plan(
+            env.functional, env.params, env.state, env.obs,
+            jax.random.PRNGKey(seed), num_actions=3, expansions=EXPANSIONS,
+            gamma=GAMMA, accuracy=ACCURACY, sampling_timeout=50)
+        assert int(length) > 0
+        our_actions.append(int(actions[0]))
+    assert our_actions == ref_actions
+    np.testing.assert_allclose(float(graph.value_lower[0]), ref_bounds[0],
+                               atol=5 * ACCURACY / (1 - GAMMA))
+    np.testing.assert_allclose(float(graph.value_upper[0]), ref_bounds[1],
+                               atol=5 * ACCURACY / (1 - GAMMA))
+
+
+# ---------------------------------------------------------------------------
+# GBOP (stochastic graph-based planner)
+# ---------------------------------------------------------------------------
+
+def test_gbop_stochastic_action_distribution():
+    """The reference's compute_reward_ucb is broken as-shipped — it passes a
+    leftover ``time`` positional into the new kl_upper_bound signature
+    (graph_based_stochastic.py:75-84 vs utils.py:123), a TypeError on every
+    run — so the test patches in the intended call (threshold as the KL
+    radius, lower=True for the LCB): the *algorithm* is the spec, not the
+    broken plumbing (SURVEY hard part 4)."""
+    from rl_agents_tpu.agents.tree_search.graph_based_stochastic import (
+        gbop_stochastic_plan,
+    )
+
+    _bootstrap_reference()
+    from rl_agents.agents.tree_search import graph_based_stochastic as ref_mod
+    from rl_agents.agents.tree_search.graph_based_stochastic import (
+        StochasticGraphBasedPlanner,
+    )
+    from rl_agents.utils import kl_upper_bound
+
+    from rl_agents.utils import max_expectation_under_constraint
+
+    def fixed_compute_reward_ucb(self):
+        horizon = self.planner.config["horizon"]          # noqa: F841
+        actions = self.planner.env.action_space.n         # noqa: F841
+        count = self.count                                # noqa: F841
+        time = self.planner.config["episodes"]            # noqa: F841
+        threshold = eval(self.planner.config["upper_bound"]["threshold"])
+        if threshold == 0:
+            self.mu_ucb = self.mu_lcb = self.cumulative_reward / self.count
+        else:
+            self.mu_ucb = kl_upper_bound(self.cumulative_reward, self.count,
+                                         threshold=threshold)
+            self.mu_lcb = kl_upper_bound(self.cumulative_reward, self.count,
+                                         threshold=threshold, lower=True)
+
+    ref_mod.GraphDecisionNode.compute_reward_ucb = fixed_compute_reward_ucb
+
+    # Second shipped slip: the pessimistic backup feeds mu_UCB into l_next
+    # (graph_based_stochastic.py:196), inflating lower bounds. The intended
+    # GBOP pessimistic value uses the reward LCB (as the matching optimistic
+    # branch uses the UCB); with the leak left in, the reference recommends
+    # [31, 69, 0] on this MDP vs our [99, 1, 0] — with the intended math it
+    # recommends [99, 1, 0], exactly matching. The intended math is the spec.
+    orig_backup = ref_mod.GraphChanceNode.backup
+
+    def fixed_backup(self, field):
+        if self.count == 0 or field != "value_lower":
+            return orig_backup(self, field)
+        gamma = self.planner.config["gamma"]
+        self.p_hat = np.array([c.count for c in self.children.values()]) / self.count
+        self.next_states = list(self.children.keys())
+        threshold = self.transition_threshold() / self.count
+        l_next = np.zeros((len(self.children),))
+        for i, c in enumerate(self.children.values()):
+            v_n = self.planner.nodes[str(c.observation)].value_lower \
+                if str(c.observation) != "placeholder" else 0
+            l_next[i] = c.mu_lcb + gamma * v_n
+        self.p_minus = max_expectation_under_constraint(-l_next, self.p_hat,
+                                                        threshold)
+        self.value_lower = self.p_minus @ l_next
+        return self.value_lower
+
+    ref_mod.GraphChanceNode.backup = fixed_backup
+
+    EPISODES, H, SEEDS = 12, 4, 100
+    env = make_mdp(dict(STOCH_CONFIG, max_episode_steps=1000))
+    obs0, _ = env.reset(seed=0)
+
+    ref_counts = np.zeros(3, int)
+    for seed in range(SEEDS):
+        planner = _seeded(StochasticGraphBasedPlanner(env, {
+            "gamma": GAMMA, "budget": EPISODES * H, "episodes": EPISODES,
+            "horizon": H, "accuracy": 1e-2, "sampling_timeout": 50,
+            "max_next_states_count": 4, "step_strategy": "reset",
+            "upper_bound": {"type": "kullback-leibler", "time": "global",
+                            "threshold": "1*np.log(time)",
+                            "transition_threshold": "0.1*np.log(time)"}}), seed)
+        actions = planner.plan(state=_FourTupleEnv(env.fork()), observation=obs0)
+        ref_counts[int(actions[0])] += 1
+
+    keys = jax.random.split(jax.random.PRNGKey(0), SEEDS)
+    acts, _ = jax.vmap(
+        lambda k: gbop_stochastic_plan(env.functional, env.params, env.state,
+                                       env.obs, k, num_actions=3,
+                                       episodes=EPISODES, horizon=H, gamma=GAMMA,
+                                       accuracy=1e-2, reward_threshold_coeff=1.0,
+                                       transition_threshold_coeff=0.1,
+                                       width=4))(keys)
+    our_counts = np.bincount(np.asarray(acts).ravel(), minlength=3)
+    _tv_assert(ref_counts, our_counts)
+
+
+# ---------------------------------------------------------------------------
+# State-aware OPD
+# ---------------------------------------------------------------------------
+
+def test_state_aware_decision_parity():
+    """Deterministic MDP, saturating budget: the aggregated state-value UCBs
+    converge to the same fixed point on both sides, so the conservative root
+    decision is per-seed exact (reference: state_aware.py:94-137)."""
+    from rl_agents_tpu.agents.tree_search.state_aware import state_aware_plan
+
+    _bootstrap_reference()
+    from rl_agents.agents.tree_search.state_aware import StateAwarePlanner
+
+    EXPANSIONS, SEEDS = 16, 10
+    env = make_mdp(dict(LOOP_CONFIG, max_episode_steps=1000))
+    obs0, _ = env.reset(seed=0)
+
+    ref_actions = []
+    for seed in range(SEEDS):
+        planner = _seeded(StateAwarePlanner(env, {
+            "gamma": GAMMA, "budget": EXPANSIONS * 3, "accuracy": 0.0,
+            "backup_aggregated_nodes": True, "prune_suboptimal_leaves": True,
+            "step_strategy": "reset"}), seed)
+        planner.step_by_reset()  # ctor leaves self.leaves=None (deterministic.py:99)
+        actions = planner.plan(state=env.fork(), observation=obs0)
+        ref_actions.append(int(actions[0]))
+
+    our_actions = []
+    for seed in range(SEEDS):
+        actions, length, _ = state_aware_plan(
+            env.functional, env.params, env.state, env.obs,
+            jax.random.PRNGKey(seed), num_actions=3, expansions=EXPANSIONS,
+            gamma=GAMMA)
+        assert int(length) > 0
+        our_actions.append(int(actions[0]))
+    assert our_actions == ref_actions
+
+
+# ---------------------------------------------------------------------------
+# MDP-GapE
+# ---------------------------------------------------------------------------
+
+def test_mdp_gape_action_distribution():
+    """BAI regime tightened to 0.52/0.50 arm gaps at 6 episodes so the
+    recommendation genuinely mixes (measured: ref [96, 4, 0] vs ours
+    [98, 2, 0]); at the DPW harness's 0.05 gap both sides are already
+    certain and the test would not discriminate."""
+    from rl_agents_tpu.agents.tree_search.mdp_gape import mdp_gape_plan
+
+    _bootstrap_reference()
+    from rl_agents.agents.tree_search.mdp_gape import MDPGapE
+
+    EPISODES, H, SEEDS = 6, 2, 100
+    ACCURACY, CONFIDENCE = 0.1, 0.9
+    tight = dict(STOCH_CONFIG)
+    tight["reward"] = [[0.52, 0.5, 0.0], [0.5, 0.52, 0.0],
+                       [0.4, 0.4, 0.0], [0.0, 0.0, 0.0]]
+    env = make_mdp(dict(tight, max_episode_steps=1000))
+    env.reset(seed=0)
+
+    ref_counts = np.zeros(3, int)
+    for seed in range(SEEDS):
+        planner = _seeded(MDPGapE(env, {
+            "gamma": GAMMA, "budget": EPISODES * H, "episodes": EPISODES,
+            "horizon": H, "accuracy": ACCURACY, "confidence": CONFIDENCE,
+            "continuation_type": "uniform", "horizon_from_accuracy": False,
+            "max_next_states_count": 4, "step_strategy": "reset",
+            "upper_bound": {
+                "type": "kullback-leibler", "time": "global",
+                "threshold": "3*np.log(1 + np.log(count))"
+                             "+ horizon*np.log(actions)"
+                             "+ np.log(1/(1-confidence))",
+                "transition_threshold": "0.1*np.log(time)"}}), seed)
+        actions = planner.plan(state=_FourTupleEnv(env.fork()), observation=None)
+        ref_counts[int(np.atleast_1d(actions)[0])] += 1
+
+    keys = jax.random.split(jax.random.PRNGKey(0), SEEDS)
+    best, _, _ = jax.vmap(
+        lambda k: mdp_gape_plan(env.functional, env.params, env.state, k,
+                                num_actions=3, episodes=EPISODES, horizon=H,
+                                gamma=GAMMA, accuracy=ACCURACY,
+                                confidence=CONFIDENCE,
+                                transition_threshold_coeff=0.1, width=4))(keys)
+    our_counts = np.bincount(np.asarray(best).ravel(), minlength=3)
+    _tv_assert(ref_counts, our_counts)
