@@ -274,6 +274,40 @@ def bench_opd_highway(expansions=46):
     return n_exp / dt, _roofline(flops, bytes_, 1.0 / dt, n_exp)
 
 
+def bench_gbop_highway(expansions=12):
+    """Graph-based planner (GBOP-D) at 4096 trees on highway — obs-hash
+    aggregation under load (VERDICT r2 item 6: one graph planner in bench
+    extras). Runs the vmapped per-tree program (batch-major arenas)."""
+    from rl_agents_tpu.agents.tree_search.batch import gbop_plan_batch
+    from rl_agents_tpu.envs.highway import HighwayEnv
+
+    env = HighwayEnv(vehicles=15, lanes=4, max_episode_steps=40)
+    params = env.default_params()
+    # graph planners pay per-expansion table probes; bench a smaller forest
+    Bg = min(B, 1024)
+    keys = jax.random.split(jax.random.PRNGKey(2), Bg)
+    states0, obs0 = jax.vmap(env.reset, in_axes=(None, 0))(params, keys)
+
+    @jax.jit
+    def many():
+        def step(c, _):
+            ks = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                keys, c.astype(jnp.int32))
+            a, _, _ = gbop_plan_batch(env, params, states0, obs0, ks,
+                                      num_actions=5, expansions=expansions,
+                                      gamma=GAMMA, accuracy=1e-2)
+            return jnp.sum(a).astype(jnp.float32) * 1e-9, None
+        c, _ = jax.lax.scan(step, jnp.float32(0), None, length=2)
+        return c
+
+    flops, bytes_ = _cost(many.lower().compile())
+    tr = _wall_median(lambda: float(many()))
+    dt = max((tr - _tunnel_rtt()) / 2, 1e-9)
+    n_exp = Bg * expansions
+    return n_exp / dt, _roofline(flops / 2 if flops else None,
+                                 bytes_ / 2 if bytes_ else None, 1.0 / dt, n_exp)
+
+
 def _bench_fused(env, model, num_envs, steps, **kwargs):
     """Shared fused actor-learner timing: env-steps/s + roofline."""
     import optax
@@ -367,6 +401,7 @@ def main():
                            "mcts_cartpole": head_roof}
     for name, fn in [("mcts_highway_steps_per_sec", bench_mcts_highway),
                      ("opd_highway_expansions_per_sec", bench_opd_highway),
+                     ("gbop_highway_expansions_per_sec", bench_gbop_highway),
                      ("dqn_fused_env_steps_per_sec", bench_dqn_fused),
                      ("dqn_ego_attention_env_steps_per_sec",
                       bench_dqn_ego_attention)]:

@@ -3,14 +3,24 @@
 Rebuild of the reference (tree_search/trailblazer.py:6-142), which is
 self-contained and not wired to the tree-search agent shell. The adaptive
 MaxNode/AvgNode recursion — data-dependent candidate elimination with
-per-node sample counts — stays on the host (as in the reference), but the
-oracle is batched: an AvgNode that needs ``k`` more transition samples draws
-them in ONE jitted vmapped env-step call (padded to power-of-two bucket
-sizes so the run compiles O(log max-batch) programs), and the children's
-observation keys used for next-state aggregation (the reference compares
-``state.mdp.state``, trailblazer.py:42-44) are computed in the same batch.
-The reference pays one deepcopy + one env step + one observation per sample
-(trailblazer.py:70-78); here a sample costs 1/k-th of a device dispatch.
+per-node sample counts — resists static shapes (the tree's branching and the
+per-node sample schedule depend on sampled VALUES), so the control flow stays
+on the host as in the reference. The device boundary is engineered instead:
+
+* the recursion is written as COROUTINES that yield oracle requests
+  ``(state, action, n)`` and receive their samples, so the sampling pattern
+  is independent of who executes the requests;
+* a single instance drains its requests through one padded vmapped env-step
+  dispatch per request (the reference pays one deepcopy + one env step +
+  one observation PER SAMPLE, trailblazer.py:70-78);
+* ``BatchedTrailBlazer`` runs B independent instances' coroutines in
+  lockstep rounds and executes ALL outstanding requests across instances in
+  ONE doubly-vmapped dispatch per round — dispatches/plan drop ~B× at batch
+  B (the sequential depth of one plan, not the sum over instances; measured
+  in tests/agents/tree_search/test_remaining_planners.py).
+
+Request shapes are padded to power-of-two buckets on both the request axis
+and the samples axis, so a run compiles O(log B · log max-n) programs.
 """
 from __future__ import annotations
 
@@ -25,14 +35,15 @@ def _pow2(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length()
 
 
-@partial(jax.jit, static_argnames=("env", "n"))
-def _oracle_batch(env, params, state, action, key, n: int):
-    """n independent transition samples from (state, action), plus the
-    sampled next observations for aggregation keys."""
-    keys = jax.random.split(key, n)
-    outs = jax.vmap(env.step, in_axes=(None, None, None, 0))(
-        params, state, action, keys)
-    obs = jax.vmap(env.observe, in_axes=(None, 0))(params, outs.state)
+@partial(jax.jit, static_argnames=("env", "r", "n"))
+def _oracle_batch_multi(env, params, states, actions, key, r: int, n: int):
+    """r independent (state, action) requests × n transition samples each,
+    in one program: child states [r, n, ...], rewards [r, n], obs [r, n, ...]."""
+    keys = jax.random.split(key, r * n).reshape(r, n, 2)
+    outs = jax.vmap(jax.vmap(env.step, in_axes=(None, None, None, 0)),
+                    in_axes=(None, 0, 0, 0))(params, states, actions, keys)
+    obs = jax.vmap(jax.vmap(env.observe, in_axes=(None, 0)),
+                   in_axes=(None, 0))(params, outs.state)
     return outs.state, outs.reward, obs
 
 
@@ -45,8 +56,9 @@ class MaxNode:
         self.children = [AvgNode(planner, state, action, depth + 1)
                          for action in range(planner.K)]
 
-    def run(self, m, epsilon):
-        """(reference: trailblazer.py:20-39)"""
+    def run_gen(self, m, epsilon):
+        """(reference: trailblazer.py:20-39) — as a coroutine; every oracle
+        draw below this node surfaces through ``yield``."""
         p = self.planner
         candidates = list(self.children)
         L = 1
@@ -56,14 +68,18 @@ class MaxNode:
             sqr = (np.log(p.K * L / (p.delta * epsilon))
                    + p.gamma / (p.eta - p.gamma) + p.alpha + 1) / L
             U = 2 / (1 - p.gamma) * np.sqrt(max(sqr, 0.0))
-            mu = [(b, b.run(L, U * p.eta / (1 - p.eta))) for b in candidates]
+            mu = []
+            for b in candidates:
+                value = yield from b.run_gen(L, U * p.eta / (1 - p.eta))
+                mu.append((b, value))
             mu_sup = max(mu, key=lambda c: c[1])[1]
             candidates = [c[0] for c in mu
                           if c[1] + 2 * U / (1 - p.eta) >= mu_sup - 2 * U / (1 - p.eta)]
             L += 1
         if len(candidates) > 1:
             return max(mu, key=lambda c: c[1])[1]
-        return candidates[0].run(m, p.eta * epsilon)
+        value = yield from candidates[0].run_gen(m, p.eta * epsilon)
+        return value
 
 
 class AvgNode:
@@ -75,7 +91,7 @@ class AvgNode:
         self.sampled_nodes = []
         self.r = 0.0
 
-    def run(self, m, epsilon):
+    def run_gen(self, m, epsilon):
         """(reference: trailblazer.py:62-92)"""
         p = self.planner
         m = int(np.ceil(m))
@@ -88,12 +104,13 @@ class AvgNode:
         need = min(m - len(self.sampled_nodes),
                    p.max_oracle_calls - p.oracle_calls)
         if need > 0:
-            states, rewards, keys = p.oracle_sample(self.state, self.action, need)
+            p.oracle_calls += need
+            states, reward_sum, keys = yield (self.state, self.action, need)
             for i in range(need):
                 child_state = jax.tree.map(lambda x, ii=i: x[ii], states)
                 self.sampled_nodes.append(
                     MaxNode(p, child_state, self.depth + 1, obs_key=keys[i]))
-            self.r += float(rewards)
+            self.r += reward_sum
         if not self.sampled_nodes:
             return self.r
         active_nodes = self.sampled_nodes[:m]
@@ -110,16 +127,76 @@ class AvgNode:
                 counts[i] += 1
         mu = 0.0
         for node, count in zip(uniques, counts):
-            nu = node.run(count, epsilon / p.gamma)
+            nu = yield from node.run_gen(count, epsilon / p.gamma)
             mu += count / m * nu
         return self.r / max(len(self.sampled_nodes), 1) + p.gamma * mu
+
+
+class _OracleExecutor:
+    """Executes a round of oracle requests — across any number of planner
+    instances — in one padded device dispatch, and counts dispatches."""
+
+    def __init__(self, functional, params, key):
+        self.functional = functional
+        self.params = params
+        self.key = key
+        self.dispatches = 0
+
+    def __call__(self, requests):
+        """requests: list of (state, action, need) -> list of
+        (stacked child states [need,...], reward_sum, obs keys)."""
+        if not requests:
+            return []
+        self.key, sub = jax.random.split(self.key)
+        self.dispatches += 1
+        r, n = len(requests), max(q[2] for q in requests)
+        r_pad, n_pad = _pow2(r), _pow2(n)
+        pad = [requests[0]] * (r_pad - r)
+        all_reqs = list(requests) + pad
+        states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[q[0] for q in all_reqs])
+        actions = jnp.asarray([int(q[1]) for q in all_reqs], jnp.int32)
+        c_states, rewards, obs = _oracle_batch_multi(
+            self.functional, self.params, states, actions, sub, r_pad, n_pad)
+        rewards_np = np.asarray(rewards)
+        obs_np = np.asarray(jax.tree.leaves(obs)[0])
+        results = []
+        for i, (_, _, need) in enumerate(requests):
+            child_states = jax.tree.map(lambda x, ii=i: x[ii], c_states)
+            keys = [obs_np[i, j].tobytes() for j in range(need)]
+            results.append((child_states, float(rewards_np[i, :need].sum()), keys))
+        return results
+
+
+def _drive(generators, executor):
+    """Run coroutines in lockstep rounds: collect every instance's pending
+    oracle request, execute them in ONE dispatch, resume. Returns the list
+    of generator return values."""
+    n = len(generators)
+    values = [None] * n
+    pending = {}  # index -> request
+    for i, g in enumerate(generators):
+        try:
+            pending[i] = g.send(None)
+        except StopIteration as stop:
+            values[i] = stop.value
+    while pending:
+        idxs = sorted(pending)
+        results = executor([pending[i] for i in idxs])
+        pending = {}
+        for i, res in zip(idxs, results):
+            try:
+                pending[i] = generators[i].send(res)
+            except StopIteration as stop:
+                values[i] = stop.value
+    return values
 
 
 class TrailBlazer:
     """(reference: trailblazer.py:95-117)"""
 
     def __init__(self, env_handle, gamma=0.9, delta=0.1, epsilon=1.0,
-                 max_oracle_calls: int = 10000):
+                 max_oracle_calls: int = 10000, seed: int = 0):
         self.max_oracle_calls = max_oracle_calls
         self.functional = env_handle.functional
         self.params = env_handle.params
@@ -130,24 +207,43 @@ class TrailBlazer:
         self.K = self.functional.action_space.n
         self.alpha = 0.0
         self.m = (np.log(1 / delta) + self.alpha) / ((1 - gamma) ** 2 * epsilon ** 2)
-        self.key = jax.random.PRNGKey(0)
         self.oracle_calls = 0
+        self.executor = _OracleExecutor(self.functional, self.params,
+                                        jax.random.PRNGKey(seed))
         self.root = MaxNode(self, env_handle.state)
 
-    def oracle_sample(self, state, action, n: int):
-        """n transition samples in one padded batched dispatch.
-
-        Returns (stacked child states [n,...], summed reward over the n
-        samples, list of n hashable observation keys)."""
-        self.key, sub = jax.random.split(self.key)
-        self.oracle_calls += n
-        n_pad = _pow2(n)
-        states, rewards, obs = _oracle_batch(
-            self.functional, self.params, state, jnp.asarray(action), sub, n_pad)
-        obs_np = np.asarray(jax.tree.leaves(obs)[0])[:n]
-        keys = [obs_np[i].tobytes() for i in range(n)]
-        reward_sum = float(np.asarray(rewards)[:n].sum())
-        return states, reward_sum, keys
+    @property
+    def dispatches(self):
+        return self.executor.dispatches
 
     def run(self):
-        return self.root.run(self.m, self.epsilon / 2)
+        return _drive([self.root.run_gen(self.m, self.epsilon / 2)],
+                      self.executor)[0]
+
+
+class BatchedTrailBlazer:
+    """B independent TrailBlazer instances whose oracle draws are batched
+    into one device dispatch per lockstep round (VERDICT r2 item 8): the
+    dispatch count per plan is the MAX sequential request depth over the
+    batch rather than the SUM — a ~B× reduction at batch B."""
+
+    def __init__(self, env_handle, states, gamma=0.9, delta=0.1, epsilon=1.0,
+                 max_oracle_calls: int = 10000, seed: int = 0):
+        self.executor = _OracleExecutor(env_handle.functional, env_handle.params,
+                                        jax.random.PRNGKey(seed))
+        self.instances = []
+        for state in states:
+            handle = env_handle.fork()
+            handle.state = state
+            tb = TrailBlazer(handle, gamma=gamma, delta=delta, epsilon=epsilon,
+                             max_oracle_calls=max_oracle_calls)
+            tb.executor = self.executor  # shared: one dispatch per round
+            self.instances.append(tb)
+
+    @property
+    def dispatches(self):
+        return self.executor.dispatches
+
+    def run(self):
+        gens = [tb.root.run_gen(tb.m, tb.epsilon / 2) for tb in self.instances]
+        return _drive(gens, self.executor)

@@ -55,8 +55,7 @@ def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
     collective runtime and runs the same program.
     """
     global _DISTRIBUTED_INITIALIZED
-    if _DISTRIBUTED_INITIALIZED or jax.process_count() > 1:
-        _DISTRIBUTED_INITIALIZED = True
+    if _DISTRIBUTED_INITIALIZED:
         return True
     coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if num_processes is None:
@@ -66,10 +65,20 @@ def maybe_initialize_distributed(coordinator_address: Optional[str] = None,
         raw = os.environ.get("JAX_PROCESS_ID")
         process_id = int(raw) if raw else None
     if not coordinator_address or not num_processes or num_processes <= 1:
-        return False
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+        # No bootstrap env: querying the runtime is safe here — either some
+        # outer launcher already initialized it (report True) or this is a
+        # plain single-process run. NOTE: do NOT query before the branch
+        # below; jax.process_count() initializes the XLA backend, after
+        # which jax.distributed.initialize refuses to run.
+        return jax.process_count() > 1
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        # already initialized by an outer launcher with the same topology
+        if jax.process_count() != num_processes:
+            raise
     _DISTRIBUTED_INITIALIZED = True
     return True
 

@@ -8,11 +8,14 @@ reference's own CartPole config). The comparison statistic is the
 final-50-episode mean return: reference 182.2 +/- 6.6 (the cap is 200).
 
 Our side trains the fused on-device actor-learner with the same
-architecture and a comparable update budget (12k SGD steps vs the
-reference's ~26k), then evaluates the greedy policy over 64 episodes. Parity
-bar: the greedy mean must be inside or above the reference band (reference
-final-window returns still include epsilon~0.06 exploration noise, so
-matching its lower edge is the correct one-sided test).
+architecture, the reference's exploration schedule (tau 6000 on the
+SGD-step axis — the reference decays epsilon once per act, which is once
+per update at target_update=1) and a matched update budget (26k SGD steps),
+then evaluates the greedy policy over 64 episodes. Parity bar: the greedy
+mean must be within 2 sigma of the reference's final-window mean, one-sided
+(reference final-window returns still include epsilon~0.06 exploration
+noise, so matching its lower edge is the correct one-sided test).
+r2 VERDICT item 5 closed: was 12k steps / tau 2000 / -4 sigma.
 """
 import json
 from pathlib import Path
@@ -54,16 +57,16 @@ def test_dqn_learning_curve_within_reference_band():
     env = CartPoleEnv(max_episode_steps=200)
     model = MultiLayerPerceptron(layers=(100, 100), out=2)
     state, history = train_dqn_fused(
-        env, model, total_steps=12_000, segment=1000, seed=0,
+        env, model, total_steps=26_000, segment=1000, seed=0,
         num_envs=8, capacity=20_000, batch_size=100, gamma=0.99,
-        eps_tau=2000.0, target_update=50)
+        eps_tau=6000.0, target_update=50)
 
     # learning happened: EMA of completed-episode returns climbs into the band
     assert history[-1] > history[0]
     assert history[-1] >= 160, f"EMA curve too low: {history}"
 
     returns = greedy_eval(env, model, state.params)
-    lower_edge = BAND["final_window_mean"] - 4 * BAND["final_window_std"]
+    lower_edge = BAND["final_window_mean"] - 2 * BAND["final_window_std"]
     assert returns.mean() >= lower_edge, (
         f"greedy mean {returns.mean():.1f} below reference band "
-        f"{BAND['final_window_mean']:.1f} - 4*{BAND['final_window_std']:.1f}")
+        f"{BAND['final_window_mean']:.1f} - 2*{BAND['final_window_std']:.1f}")
