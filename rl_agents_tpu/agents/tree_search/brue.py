@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from rl_agents_tpu.agents.tree_search.common import AbstractTreeSearchAgent, allocation
 from rl_agents_tpu.envs.base import FunctionalEnv
 from rl_agents_tpu.ops.hashing import obs_key
+from rl_agents_tpu.ops.onehot import onehot, select_row
 
 
 class BRUETree(NamedTuple):
@@ -60,38 +61,42 @@ def brue_plan(env: FunctionalEnv, params, state0, key, num_actions: int, budget:
     )
 
     def get_chance_child(tree, d_node, action):
-        """decision -> chance by action (reference: brue.py:93-96)."""
-        existing = tree.d_children[d_node, action]
+        """decision -> chance by action (reference: brue.py:93-96). One-hot
+        arena access throughout this planner (ops/onehot.py): per-lane scalar
+        indexing under a tree-batch vmap is the TPU pathology."""
+        oh_na = onehot(d_node, Nd)[:, None] & onehot(action, A)[None, :]
+        existing = jnp.sum(jnp.where(oh_na, tree.d_children, 0))
         is_new = existing < 0
         new_id = tree.c_used
         chance = jnp.where(is_new, new_id, existing)
         tree = tree._replace(
-            d_children=jnp.where(is_new, tree.d_children.at[d_node, action].set(new_id),
-                                 tree.d_children),
+            d_children=jnp.where(oh_na & is_new, new_id, tree.d_children),
             c_used=tree.c_used + is_new.astype(jnp.int32))
         return tree, chance
 
     def get_decision_child(tree, chance, obs, depth):
         """chance -> decision by observation key (reference: brue.py:113-116)."""
         key_ = obs_key(obs)
-        keys_row = tree.c_child_keys[chance]
-        n = tree.c_n_children[chance]
+        oh_c = onehot(chance, Nc)
+        keys_row = select_row(tree.c_child_keys, oh_c)
+        children_row = select_row(tree.c_children, oh_c)
+        n = select_row(tree.c_n_children, oh_c)
         slots = jnp.arange(W)
         match = (keys_row == key_) & (slots < n)
         exists = jnp.any(match)
         slot = jnp.where(exists, jnp.argmax(match), jnp.minimum(n, W - 1))
         insert = (~exists) & (n < W)
         new_id = tree.d_used
-        child = jnp.where(insert, new_id, tree.c_children[chance, slot])
-        child = jnp.where(exists, tree.c_children[chance, jnp.argmax(match)], child)
+        oh_w = onehot(slot, W)
+        existing_child = jnp.sum(jnp.where(oh_w, children_row, 0))
+        child = jnp.where(insert, new_id, existing_child)
+        oh_cw = oh_c[:, None] & oh_w[None, :]
+        oh_new_d = onehot(new_id, Nd)
         tree = tree._replace(
-            c_child_keys=jnp.where(insert, tree.c_child_keys.at[chance, slot].set(key_),
-                                   tree.c_child_keys),
-            c_children=jnp.where(insert, tree.c_children.at[chance, slot].set(new_id),
-                                 tree.c_children),
-            c_n_children=tree.c_n_children + jnp.where(
-                insert, jnp.zeros_like(tree.c_n_children).at[chance].set(1), 0),
-            d_depth=jnp.where(insert, tree.d_depth.at[new_id].set(depth), tree.d_depth),
+            c_child_keys=jnp.where(oh_cw & insert, key_, tree.c_child_keys),
+            c_children=jnp.where(oh_cw & insert, new_id, tree.c_children),
+            c_n_children=tree.c_n_children + (oh_c & insert).astype(jnp.int32),
+            d_depth=jnp.where(oh_new_d & insert, depth, tree.d_depth),
             d_used=tree.d_used + insert.astype(jnp.int32))
         return tree, child
 
@@ -100,20 +105,28 @@ def brue_plan(env: FunctionalEnv, params, state0, key, num_actions: int, budget:
 
         def body(c, d):
             node, ret, live, k = c
-            ch = tree.d_children[node]
+            ch = select_row(tree.d_children, onehot(node, Nd))
             valid = ch >= 0
             has_children = jnp.any(valid)
-            chs = jnp.maximum(ch, 0)
-            best_chance = ch[jnp.argmax(jnp.where(valid, tree.c_value[chs], -jnp.inf))]
-            bc = jnp.maximum(best_chance, 0)
-            counts = jnp.where(jnp.arange(W) < tree.c_n_children[bc],
-                               tree.d_count[jnp.maximum(tree.c_children[bc], 0)], 0)
+            ch_oh = (ch[:, None] == jnp.arange(Nc, dtype=jnp.int32)[None, :]) \
+                & valid[:, None]
+            cvals = jnp.sum(jnp.where(ch_oh, tree.c_value[None, :], 0.0), axis=1)
+            best_a = jnp.argmax(jnp.where(valid, cvals, -jnp.inf))
+            best_chance = jnp.sum(jnp.where(jnp.arange(A) == best_a, ch, 0))
+            oh_bc = onehot(jnp.maximum(best_chance, 0), Nc)
+            bc_children = select_row(tree.c_children, oh_bc)
+            bc_n = select_row(tree.c_n_children, oh_bc)
+            cc_oh = (bc_children[:, None] == jnp.arange(Nd, dtype=jnp.int32)[None, :]) \
+                & (bc_children >= 0)[:, None]
+            cc_counts = jnp.sum(jnp.where(cc_oh, tree.d_count[None, :], 0), axis=1)
+            counts = jnp.where(jnp.arange(W) < bc_n, cc_counts, 0)
             k, ks = jax.random.split(k)
             slot = jax.random.categorical(
                 ks, jnp.where(counts > 0, jnp.log(counts.astype(jnp.float32)), -jnp.inf))
-            nxt = tree.c_children[bc, slot]
-            ok = live & has_children & (tree.c_n_children[bc] > 0) & (nxt >= 0)
-            ret = ret + jnp.where(ok, gamma ** d.astype(jnp.float32) * tree.d_reward[jnp.maximum(nxt, 0)], 0.0)
+            nxt = jnp.sum(jnp.where(jnp.arange(W) == slot, bc_children, 0))
+            ok = live & has_children & (bc_n > 0) & (nxt >= 0)
+            r_nxt = jnp.sum(jnp.where(onehot(jnp.maximum(nxt, 0), Nd), tree.d_reward, 0.0))
+            ret = ret + jnp.where(ok, gamma ** d.astype(jnp.float32) * r_nxt, 0.0)
             return (jnp.where(ok, nxt, node), ret, ok, k), None
 
         (_, ret, _, _), _ = jax.lax.scan(
@@ -169,17 +182,21 @@ def brue_plan(env: FunctionalEnv, params, state0, key, num_actions: int, budget:
                 tree, key = tk
                 chance, nxt = path_chances[hh], path_next[hh]
                 r = rewards[hh]
-                d_count = tree.d_count.at[nxt].add(1)
-                d_reward = tree.d_reward.at[nxt].set(
-                    (d_count[nxt].astype(jnp.float32) - 1) / d_count[nxt].astype(jnp.float32)
-                    * tree.d_reward[nxt] + r / d_count[nxt].astype(jnp.float32))
+                oh_nxt = onehot(nxt, Nd)
+                d_count = tree.d_count + oh_nxt.astype(jnp.int32)
+                cnt = jnp.sum(jnp.where(oh_nxt, d_count, 0)).astype(jnp.float32)
+                r_old = jnp.sum(jnp.where(oh_nxt, tree.d_reward, 0.0))
+                d_reward = jnp.where(oh_nxt, (cnt - 1) / cnt * r_old + r / cnt,
+                                     tree.d_reward)
                 tree = tree._replace(d_count=d_count, d_reward=d_reward)
                 key, ke = jax.random.split(key)
                 est = r + gamma * estimate(tree, nxt, ke)
-                c_count = tree.c_count.at[chance].add(1)
-                c_value = tree.c_value.at[chance].set(
-                    (c_count[chance].astype(jnp.float32) - 1) / c_count[chance].astype(jnp.float32)
-                    * tree.c_value[chance] + est / c_count[chance].astype(jnp.float32))
+                oh_ch = onehot(chance, Nc)
+                c_count = tree.c_count + oh_ch.astype(jnp.int32)
+                ccnt = jnp.sum(jnp.where(oh_ch, c_count, 0)).astype(jnp.float32)
+                v_old = jnp.sum(jnp.where(oh_ch, tree.c_value, 0.0))
+                c_value = jnp.where(oh_ch, (ccnt - 1) / ccnt * v_old + est / ccnt,
+                                    tree.c_value)
                 return tree._replace(c_count=c_count, c_value=c_value), key
 
             tree, key = jax.lax.cond(live, do, lambda tk: tk, (tree, key))
@@ -196,7 +213,10 @@ def brue_plan(env: FunctionalEnv, params, state0, key, num_actions: int, budget:
     # recommendation: argmax chance value at root (reference: brue.py:88-91)
     ch = tree.d_children[0]
     valid = ch >= 0
-    vals = jnp.where(valid, tree.c_value[jnp.maximum(ch, 0)], -jnp.inf)
+    ch_oh = (ch[:, None] == jnp.arange(Nc, dtype=jnp.int32)[None, :]) & valid[:, None]
+    vals = jnp.where(valid,
+                     jnp.sum(jnp.where(ch_oh, tree.c_value[None, :], 0.0), axis=1),
+                     -jnp.inf)
     ties = valid & (vals == jnp.max(vals))
     action = jax.random.categorical(key, jnp.where(ties, 0.0, -jnp.inf))
     return action, tree

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from rl_agents_tpu.agents.tree_search.common import AbstractTreeSearchAgent
 from rl_agents_tpu.envs.base import FunctionalEnv
 from rl_agents_tpu.ops.hashing import obs_key, table_init, table_lookup_or_insert
+from rl_agents_tpu.ops.onehot import onehot, select_row, select_row_tree, set_row
 
 
 class Graph(NamedTuple):
@@ -37,13 +38,34 @@ class Graph(NamedTuple):
     used: Any          # [] i32
 
 
+def _child_matrix(children):
+    """Dense child one-hot [N, A, N]: M[n, a, m] <=> children[n, a] == m.
+    Turns every child-value gather into a masked reduction XLA streams at
+    memory speed (the ``vals[children]`` form is a per-lane vector gather
+    under vmap — the TPU pathology, see ops/onehot.py)."""
+    N = children.shape[0]
+    valid = children >= 0
+    M = (children[:, :, None] == jnp.arange(N, dtype=jnp.int32)[None, None, :]) \
+        & valid[:, :, None]
+    return M, valid
+
+
+def _q_table(M, valid, rewards, vals, gamma, default):
+    """Q[n, a] = r[n, a] + gamma * vals[children[n, a]] for every node at
+    once (the dense matrix form the reference sketches at
+    graph_based_stochastic.py:272-330)."""
+    child_vals = jnp.sum(jnp.where(M, vals[None, None, :], 0.0), axis=2)
+    return rewards + gamma * jnp.where(valid, child_vals, default)
+
+
 def _value_iteration_sweeps(graph: Graph, gamma, accuracy, max_sweeps: int = 100):
-    """Masked global Bellman sweeps until residual <= accuracy."""
+    """Masked global Bellman sweeps until residual <= accuracy. The child
+    one-hot matrix is hoisted out of the loop: each sweep is one dense
+    masked contraction."""
+    M, valid = _child_matrix(graph.children)
 
     def bounds_sweep(vals, default):
-        child_vals = jnp.where(graph.children >= 0,
-                               vals[jnp.maximum(graph.children, 0)], default)
-        q = graph.rewards + gamma * child_vals
+        q = _q_table(M, valid, graph.rewards, vals, gamma, default)
         v = jnp.max(q, axis=1)
         return jnp.where(graph.expanded, v, vals)
 
@@ -87,20 +109,27 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
     )
 
     def descend(graph, k):
-        """Optimistic sampling until an unexpanded node (graph_based.py:96-108)."""
+        """Optimistic sampling until an unexpanded node (graph_based.py:96-108).
+        Bounds are frozen during a descent, so the dense Q table is computed
+        once and each step is a one-hot row select."""
+        M, valid = _child_matrix(graph.children)
+        q_up_all = _q_table(M, valid, graph.rewards, graph.value_upper, gamma,
+                            1.0 / (1.0 - gamma))
 
         def body(c):
             node, k, steps = c
-            ch = jnp.maximum(graph.children[node], 0)
-            q_upper = graph.rewards[node] + gamma * graph.value_upper[ch]
+            oh = onehot(node, N)
+            q_upper = select_row(q_up_all, oh)
             ties = q_upper == jnp.max(q_upper)
             k, ks = jax.random.split(k)
             action = jax.random.categorical(ks, jnp.where(ties, 0.0, -jnp.inf))
-            return graph.children[node, action], k, steps + 1
+            ch_row = select_row(graph.children, oh)
+            child = jnp.sum(jnp.where(jnp.arange(A) == action, ch_row, 0))
+            return child, k, steps + 1
 
         def cond(c):
             node, k, steps = c
-            return graph.expanded[node] & (steps < sampling_timeout)
+            return jnp.any(onehot(node, N) & graph.expanded) & (steps < sampling_timeout)
 
         node, k, _ = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), k, 0))
         return node, k
@@ -108,27 +137,31 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
     def expand(graph, node):
         """Simulate all actions; aggregate next states via the obs table
         (graph_based.py:39-53)."""
-        state = jax.tree.map(lambda x: x[node], graph.states)
+        oh_node = onehot(node, N)
+        state = select_row_tree(graph.states, oh_node)
         outs = jax.vmap(env.step, in_axes=(None, None, 0, None))(
             params, state, jnp.arange(A), jnp.zeros((2,), jnp.uint32))
 
         def per_action(carry, a):
             graph = carry
-            okey = obs_key(jax.tree.map(lambda x: x[a], outs.obs))
+            oh_a = onehot(a, A)
+            okey = obs_key(select_row_tree(outs.obs, oh_a))
             table, child, is_new = table_lookup_or_insert(graph.table, okey, graph.used)
+            oh_used = onehot(graph.used, N) & is_new
             new_states = jax.tree.map(
-                lambda arena, new: jnp.where(is_new, arena.at[graph.used].set(new[a]), arena),
+                lambda arena, new: set_row(arena, oh_used, select_row(new, oh_a)),
                 graph.states, outs.state)
+            oh_na = oh_node[:, None] & oh_a[None, :]
             graph = graph._replace(
                 table=table,
                 states=new_states,
                 used=graph.used + is_new.astype(jnp.int32),
-                rewards=graph.rewards.at[node, a].set(outs.reward[a]),
-                children=graph.children.at[node, a].set(child))
+                rewards=set_row(graph.rewards, oh_na, select_row(outs.reward, oh_a)),
+                children=set_row(graph.children, oh_na, child))
             return graph, None
 
         graph, _ = jax.lax.scan(per_action, graph, jnp.arange(A))
-        return graph._replace(expanded=graph.expanded.at[node].set(True))
+        return graph._replace(expanded=graph.expanded | oh_node)
 
     def round_fn(carry, _):
         graph, k = carry
@@ -140,15 +173,19 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
     (graph, key), _ = jax.lax.scan(round_fn, (graph, key), None, length=expansions)
 
     # conservative plan: descend by lower-bound argmax (graph_based.py:126-135)
+    M, valid = _child_matrix(graph.children)
+    q_lo_all = _q_table(M, valid, graph.rewards, graph.value_lower, gamma, 0.0)
+
     def plan_body(carry, _):
         node, live = carry
-        has = graph.expanded[node]
-        ch = jnp.maximum(graph.children[node], 0)
-        q_lower = graph.rewards[node] + gamma * graph.value_lower[ch]
+        oh = onehot(node, N)
+        has = jnp.any(oh & graph.expanded)
+        q_lower = select_row(q_lo_all, oh)
         action = jnp.argmax(q_lower)  # first max, like the reference's max()
+        ch_row = select_row(graph.children, oh)
+        child = jnp.sum(jnp.where(jnp.arange(A) == action, ch_row, 0))
         emit = live & has
-        return (jnp.where(emit, graph.children[node, action], node), emit), \
-            jnp.where(emit, action, -1)
+        return (jnp.where(emit, child, node), emit), jnp.where(emit, action, -1)
 
     (_, _), actions = jax.lax.scan(
         plan_body, (jnp.zeros((), jnp.int32), jnp.asarray(True)), None,

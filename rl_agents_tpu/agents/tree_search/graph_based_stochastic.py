@@ -27,6 +27,7 @@ from rl_agents_tpu.agents.tree_search.graph_based import GraphBasedPlannerAgent
 from rl_agents_tpu.agents.tree_search.olop import parse_threshold
 from rl_agents_tpu.envs.base import FunctionalEnv
 from rl_agents_tpu.ops.hashing import obs_key, table_init, table_lookup_or_insert
+from rl_agents_tpu.ops.onehot import onehot, select_row, select_row_tree, set_row
 from rl_agents_tpu.utils.math import kl_upper_bound, max_expectation_under_constraint
 
 
@@ -83,29 +84,43 @@ def gbop_stochastic_plan(env: FunctionalEnv, params, state0, obs0, key,
         used=jnp.ones((), jnp.int32),
     )
 
-    def q_bounds_one(graph, n, a):
-        """Constrained-expectation backup of one (s, a)
-        (graph_based_stochastic.py:167-198)."""
-        cnt = graph.c_count[n, a].astype(jnp.float32)
-        filled = graph.sa_child[n, a] >= 0
-        child = jnp.maximum(graph.sa_child[n, a], 0)
-        v_up = jnp.where(filled, graph.value_upper[child], vmax)
-        v_lo = jnp.where(filled, graph.value_lower[child], 0.0)
-        u_next = graph.sa_mu_ucb[n, a] + gamma * v_up
-        l_next = graph.sa_mu_lcb[n, a] + gamma * v_lo
-        p_hat = graph.sa_count[n, a].astype(jnp.float32) / jnp.maximum(cnt, 1.0)
+    def _q_from_rows(c_cnt, sa_child, sa_count, mu_ucb, mu_lcb, vu, vl):
+        """Constrained-expectation backup over leading batch dims
+        (graph_based_stochastic.py:167-198). ``sa_child`` values are resolved
+        densely via one-hot (per-lane child gathers are the TPU pathology,
+        ops/onehot.py). Shapes: [..., W] rows, [...] counts."""
+        cnt = c_cnt.astype(jnp.float32)
+        filled = sa_child >= 0
+        child_oh = (sa_child[..., None] == jnp.arange(N, dtype=jnp.int32)) \
+            & filled[..., None]
+        v_up = jnp.where(filled, jnp.sum(jnp.where(child_oh, vu, 0.0), axis=-1), vmax)
+        v_lo = jnp.where(filled, jnp.sum(jnp.where(child_oh, vl, 0.0), axis=-1), 0.0)
+        u_next = mu_ucb + gamma * v_up
+        l_next = mu_lcb + gamma * v_lo
+        p_hat = sa_count.astype(jnp.float32) / jnp.maximum(cnt, 1.0)[..., None]
         thr = transition_threshold / jnp.maximum(cnt, 1.0)
-        p_plus = max_expectation_under_constraint(u_next, p_hat, thr)
-        p_minus = max_expectation_under_constraint(-l_next, p_hat, thr)
-        q_up = jnp.where(cnt > 0, p_plus @ u_next, vmax)
-        q_lo = jnp.where(cnt > 0, p_minus @ l_next, 0.0)
+        flat = lambda x: x.reshape((-1,) + x.shape[x.ndim - 1:])
+        p_plus = jax.vmap(max_expectation_under_constraint)(
+            flat(u_next), flat(p_hat), thr.reshape(-1)).reshape(u_next.shape)
+        p_minus = jax.vmap(max_expectation_under_constraint)(
+            flat(-l_next), flat(p_hat), thr.reshape(-1)).reshape(l_next.shape)
+        q_up = jnp.where(cnt > 0, jnp.sum(p_plus * u_next, axis=-1), vmax)
+        q_lo = jnp.where(cnt > 0, jnp.sum(p_minus * l_next, axis=-1), 0.0)
         return q_up, q_lo
 
     def all_q_bounds(graph):
-        nn = jnp.repeat(jnp.arange(N), A)
-        aa = jnp.tile(jnp.arange(A), N)
-        q_up, q_lo = jax.vmap(lambda n, a: q_bounds_one(graph, n, a))(nn, aa)
-        return q_up.reshape(N, A), q_lo.reshape(N, A)
+        return _q_from_rows(graph.c_count, graph.sa_child, graph.sa_count,
+                            graph.sa_mu_ucb, graph.sa_mu_lcb,
+                            graph.value_upper, graph.value_lower)
+
+    def node_q_upper(graph, oh_n):
+        """Q-upper row [A] for one node via one-hot row selects."""
+        q_up, _ = _q_from_rows(
+            select_row(graph.c_count, oh_n), select_row(graph.sa_child, oh_n),
+            select_row(graph.sa_count, oh_n), select_row(graph.sa_mu_ucb, oh_n),
+            select_row(graph.sa_mu_lcb, oh_n),
+            graph.value_upper, graph.value_lower)
+        return q_up
 
     def vi(graph):
         """Masked dense Bellman sweeps (the reference's matrix VI form)."""
@@ -135,8 +150,9 @@ def gbop_stochastic_plan(env: FunctionalEnv, params, state0, obs0, key,
             graph, state, obs, k = c
             okey = obs_key(obs)
             table, node, is_new = table_lookup_or_insert(graph.table, okey, graph.used)
+            oh_used = onehot(graph.used, N) & is_new
             new_states = jax.tree.map(
-                lambda arena, s: jnp.where(is_new, arena.at[graph.used].set(s), arena),
+                lambda arena, s: set_row(arena, oh_used, s),
                 graph.states, state)
             graph = graph._replace(table=table, states=new_states,
                                    used=graph.used + is_new.astype(jnp.int32))
@@ -144,16 +160,19 @@ def gbop_stochastic_plan(env: FunctionalEnv, params, state0, obs0, key,
 
             # optimistic sampling (graph_based_stochastic.py:42-51)
             k, ka, ks = jax.random.split(k, 3)
-            q_up = jax.vmap(lambda a: q_bounds_one(graph, node, a)[0])(jnp.arange(A))
+            oh_n = onehot(node, N)
+            q_up = node_q_upper(graph, oh_n)
             ties = q_up == jnp.max(q_up)
             action = jax.random.categorical(ka, jnp.where(ties, 0.0, -jnp.inf))
+            oh_a = onehot(action, A)
+            oh_na = oh_n[:, None] & oh_a[None, :]
 
             out = env.step(params, state, action, ks)
 
             # next-state slot (graph_based_stochastic.py:207-219)
             nkey = obs_key(out.obs)
-            keys_row = graph.sa_keys[node, action]
-            nslots = graph.sa_n[node, action]
+            keys_row = select_row(select_row(graph.sa_keys, oh_n), oh_a)
+            nslots = jnp.sum(jnp.where(oh_na, graph.sa_n, 0))
             slots = jnp.arange(W)
             match = (keys_row == nkey) & (slots < nslots)
             exists = jnp.any(match)
@@ -162,32 +181,36 @@ def gbop_stochastic_plan(env: FunctionalEnv, params, state0, obs0, key,
 
             # register next decision node globally
             table, nxt_node, nxt_new = table_lookup_or_insert(graph.table, nkey, graph.used)
+            oh_used2 = onehot(graph.used, N) & nxt_new
             new_states = jax.tree.map(
-                lambda arena, s: jnp.where(nxt_new, arena.at[graph.used].set(s), arena),
+                lambda arena, s: set_row(arena, oh_used2, s),
                 graph.states, out.state)
             graph = graph._replace(table=table, states=new_states,
                                    used=graph.used + nxt_new.astype(jnp.int32))
             nxt_node = jnp.maximum(nxt_node, 0)
 
-            # statistics updates (graph_based_stochastic.py:253-258)
-            cnt = graph.sa_count[node, action, slot] + 1
-            cum = graph.sa_cum_reward[node, action, slot] + out.reward
+            # statistics updates (graph_based_stochastic.py:253-258), all as
+            # dense one-hot masked blends over the [N, A, W] stat arrays
+            oh_w = onehot(slot, W)
+            oh_naw = oh_na[:, :, None] & oh_w[None, None, :]
+            cnt = jnp.sum(jnp.where(oh_naw, graph.sa_count, 0)) + 1
+            cum = jnp.sum(jnp.where(oh_naw, graph.sa_cum_reward, 0.0)) + out.reward
             graph = graph._replace(
-                visited=graph.visited.at[node].set(True),
-                n_count=graph.n_count.at[node].add(1),
-                c_count=graph.c_count.at[node, action].add(1),
-                sa_keys=jnp.where(insert, graph.sa_keys.at[node, action, slot].set(nkey),
-                                  graph.sa_keys),
-                sa_child=graph.sa_child.at[node, action, slot].set(nxt_node),
-                sa_n=graph.sa_n + jnp.where(
-                    insert, jnp.zeros_like(graph.sa_n).at[node, action].set(1), 0),
-                sa_count=graph.sa_count.at[node, action, slot].set(cnt),
-                sa_cum_reward=graph.sa_cum_reward.at[node, action, slot].set(cum),
-                sa_mu_ucb=graph.sa_mu_ucb.at[node, action, slot].set(
-                    kl_upper_bound(cum, cnt.astype(jnp.float32), reward_threshold)),
-                sa_mu_lcb=graph.sa_mu_lcb.at[node, action, slot].set(
-                    kl_upper_bound(cum, cnt.astype(jnp.float32), reward_threshold,
-                                   lower=True)))
+                visited=graph.visited | oh_n,
+                n_count=graph.n_count + oh_n.astype(jnp.int32),
+                c_count=graph.c_count + oh_na.astype(jnp.int32),
+                sa_keys=jnp.where(oh_naw & insert, nkey, graph.sa_keys),
+                sa_child=jnp.where(oh_naw, nxt_node, graph.sa_child),
+                sa_n=graph.sa_n + (oh_na & insert).astype(jnp.int32),
+                sa_count=jnp.where(oh_naw, cnt, graph.sa_count),
+                sa_cum_reward=jnp.where(oh_naw, cum, graph.sa_cum_reward),
+                sa_mu_ucb=jnp.where(
+                    oh_naw, kl_upper_bound(cum, cnt.astype(jnp.float32),
+                                           reward_threshold), graph.sa_mu_ucb),
+                sa_mu_lcb=jnp.where(
+                    oh_naw, kl_upper_bound(cum, cnt.astype(jnp.float32),
+                                           reward_threshold, lower=True),
+                    graph.sa_mu_lcb))
             return (graph, out.state, out.obs, k), None
 
         (graph, _, _, _), _ = jax.lax.scan(

@@ -20,6 +20,7 @@ from rl_agents_tpu.agents.tree_search.common import AbstractTreeSearchAgent, all
 from rl_agents_tpu.agents.tree_search.mcts import MCTSAgent, _masked_random_argmax, make_prior_fn
 from rl_agents_tpu.envs.base import FunctionalEnv
 from rl_agents_tpu.ops.hashing import obs_key
+from rl_agents_tpu.ops.onehot import onehot, select_row
 
 
 class DPWTree(NamedTuple):
@@ -71,34 +72,42 @@ def mcts_dpw_plan(env: FunctionalEnv, params, state0, key, rollout_probs,
     )
 
     def decision_get_child(tree, node, k):
-        """Action progressive widening (reference: mcts_dpw.py:106-127,139-154)."""
-        n_children = tree.d_n_children[node]
-        count = tree.d_count[node].astype(jnp.float32)
+        """Action progressive widening (reference: mcts_dpw.py:106-127,139-154).
+        All arena access is one-hot masked (ops/onehot.py): per-lane scalar
+        gathers/scatters under a tree-batch vmap are the TPU pathology."""
+        oh_d = onehot(node, Nd)
+        n_children = select_row(tree.d_n_children, oh_d)
+        count = select_row(tree.d_count, oh_d).astype(jnp.float32)
         widen = (n_children < A) & (k_action * count ** alpha_action >= n_children.astype(jnp.float32))
 
         k, ka, ks = jax.random.split(k, 3)
         # expand: random unexplored action
-        unexplored = tree.d_children[node] < 0
+        ch = select_row(tree.d_children, oh_d)
+        unexplored = ch < 0
         new_action = jax.random.categorical(ka, jnp.where(unexplored, 0.0, -jnp.inf))
         new_chance = tree.c_used
-        # select: UCB over explored children
-        ch = tree.d_children[node]
+        # select: UCB over explored children (child stats via one-hot)
         explored = ch >= 0
-        chs = jnp.maximum(ch, 0)
-        c_count = jnp.maximum(tree.c_count[chs].astype(jnp.float32), 1e-6)
-        ucb = tree.c_value[chs] + temperature * jnp.sqrt(
+        ch_oh = (ch[:, None] == jnp.arange(Nc, dtype=jnp.int32)[None, :]) \
+            & explored[:, None]                                        # [A, Nc]
+        c_count = jnp.maximum(jnp.sum(
+            jnp.where(ch_oh, tree.c_count[None, :], 0), axis=1).astype(jnp.float32), 1e-6)
+        c_value = jnp.sum(jnp.where(ch_oh, tree.c_value[None, :], 0.0), axis=1)
+        ucb = c_value + temperature * jnp.sqrt(
             jnp.log(jnp.maximum(count / c_count, 1.0)))
         sel_action = _masked_random_argmax(ks, ucb, explored)
 
         action = jnp.where(widen, new_action, sel_action)
-        chance = jnp.where(widen, new_chance, ch[action])
+        oh_a = onehot(action, A)
+        sel_chance = jnp.sum(jnp.where(oh_a, ch, 0))
+        chance = jnp.where(widen, new_chance, sel_chance)
+        oh_na = oh_d[:, None] & oh_a[None, :]
+        oh_new_c = onehot(new_chance, Nc)
         tree = tree._replace(
-            d_children=jnp.where(widen, tree.d_children.at[node, action].set(new_chance),
-                                 tree.d_children),
-            d_n_children=tree.d_n_children + jnp.where(widen,
-                                                       jnp.zeros_like(tree.d_n_children).at[node].set(1), 0),
-            c_parent=jnp.where(widen, tree.c_parent.at[new_chance].set(node), tree.c_parent),
-            c_action=jnp.where(widen, tree.c_action.at[new_chance].set(action), tree.c_action),
+            d_children=jnp.where(oh_na & widen, new_chance, tree.d_children),
+            d_n_children=tree.d_n_children + (oh_d & widen).astype(jnp.int32),
+            c_parent=jnp.where(oh_new_c & widen, node, tree.c_parent),
+            c_action=jnp.where(oh_new_c & widen, action, tree.c_action),
             c_used=tree.c_used + widen.astype(jnp.int32),
         )
         return tree, chance, action, k
@@ -107,14 +116,15 @@ def mcts_dpw_plan(env: FunctionalEnv, params, state0, key, rollout_probs,
         """State progressive widening over hashed observations
         (reference: mcts_dpw.py:168-182)."""
         key_ = obs_key(obs) if closed_loop else jnp.uint32(1)
-        keys_row = tree.c_child_keys[chance]
-        n = tree.c_n_children[chance]
+        oh_c = onehot(chance, Nc)
+        keys_row = select_row(tree.c_child_keys, oh_c)
+        n = select_row(tree.c_n_children, oh_c)
         slots = jnp.arange(W)
         match = (keys_row == key_) & (slots < n)
         exists = jnp.any(match)
         match_slot = jnp.argmax(match)
 
-        count = tree.c_count[chance].astype(jnp.float32)
+        count = select_row(tree.c_count, oh_c).astype(jnp.float32)
         can_widen = (n < W) & (k_state * count ** alpha_state >= n.astype(jnp.float32))
         k, kr = jax.random.split(k)
         random_slot = jax.random.randint(kr, (), 0, jnp.maximum(n, 1))
@@ -122,16 +132,16 @@ def mcts_dpw_plan(env: FunctionalEnv, params, state0, key, rollout_probs,
         new_decision = tree.d_used
         insert = (~exists) & can_widen
         slot = jnp.where(exists, match_slot, jnp.where(insert, n, random_slot))
-        child = jnp.where(insert, new_decision, tree.c_children[chance, slot])
+        oh_w = onehot(slot, W)
+        oh_cw = oh_c[:, None] & oh_w[None, :]
+        existing_child = jnp.sum(jnp.where(oh_cw, tree.c_children, 0))
+        child = jnp.where(insert, new_decision, existing_child)
+        oh_new_d = onehot(new_decision, Nd)
         tree = tree._replace(
-            c_child_keys=jnp.where(insert, tree.c_child_keys.at[chance, slot].set(key_),
-                                   tree.c_child_keys),
-            c_children=jnp.where(insert, tree.c_children.at[chance, slot].set(new_decision),
-                                 tree.c_children),
-            c_n_children=tree.c_n_children + jnp.where(
-                insert, jnp.zeros_like(tree.c_n_children).at[chance].set(1), 0),
-            d_parent=jnp.where(insert, tree.d_parent.at[new_decision].set(chance),
-                               tree.d_parent),
+            c_child_keys=jnp.where(oh_cw & insert, key_, tree.c_child_keys),
+            c_children=jnp.where(oh_cw & insert, new_decision, tree.c_children),
+            c_n_children=tree.c_n_children + (oh_c & insert).astype(jnp.int32),
+            d_parent=jnp.where(oh_new_d & insert, chance, tree.d_parent),
             d_used=tree.d_used + insert.astype(jnp.int32),
         )
         return tree, child, k
@@ -142,7 +152,8 @@ def mcts_dpw_plan(env: FunctionalEnv, params, state0, key, rollout_probs,
 
         def cond(c):
             tree, node, state, depth, total, terminal, k = c
-            visited = (tree.d_count[node] != 0) | (node == 0)
+            visited = (jnp.sum(jnp.where(onehot(node, Nd), tree.d_count, 0)) != 0) \
+                | (node == 0)
             return (depth < horizon) & ~terminal & visited
 
         def body(c):
@@ -180,20 +191,21 @@ def mcts_dpw_plan(env: FunctionalEnv, params, state0, key, rollout_probs,
 
         def up_body(c):
             n, d_count, d_value, c_count, c_value = c
-            d_count = d_count.at[n].add(1)
-            d_value = d_value.at[n].add((total - d_value[n]) / d_count[n].astype(jnp.float32))
-            chance = tree.d_parent[n]
-
-            def update_chance(args):
-                chance, c_count, c_value = args
-                c_count = c_count.at[chance].add(1)
-                c_value = c_value.at[chance].add(
-                    (total - c_value[chance]) / c_count[chance].astype(jnp.float32))
-                return c_count, c_value
-
-            c_count, c_value = jax.lax.cond(
-                chance >= 0, update_chance, lambda a: (a[1], a[2]), (chance, c_count, c_value))
-            nxt = jnp.where(chance >= 0, tree.c_parent[chance], -1)
+            oh_n = onehot(n, Nd)
+            d_count = d_count + oh_n.astype(jnp.int32)
+            cnt_new = jnp.sum(jnp.where(oh_n, d_count, 0)).astype(jnp.float32)
+            val_old = jnp.sum(jnp.where(oh_n, d_value, 0.0))
+            d_value = jnp.where(oh_n, val_old + (total - val_old) / cnt_new, d_value)
+            chance = jnp.sum(jnp.where(oh_n, tree.d_parent, 0)) \
+                + jnp.where(jnp.any(oh_n), 0, -1)
+            has_chance = chance >= 0
+            oh_ch = onehot(chance, Nc) & has_chance
+            c_count = c_count + oh_ch.astype(jnp.int32)
+            c_cnt_new = jnp.maximum(jnp.sum(jnp.where(oh_ch, c_count, 0)), 1).astype(jnp.float32)
+            c_val_old = jnp.sum(jnp.where(oh_ch, c_value, 0.0))
+            c_value = jnp.where(oh_ch, c_val_old + (total - c_val_old) / c_cnt_new, c_value)
+            nxt = jnp.where(has_chance,
+                            jnp.sum(jnp.where(onehot(chance, Nc), tree.c_parent, 0)), -1)
             return nxt, d_count, d_value, c_count, c_value
 
         _, d_count, d_value, c_count, c_value = jax.lax.while_loop(
@@ -208,10 +220,11 @@ def mcts_dpw_plan(env: FunctionalEnv, params, state0, key, rollout_probs,
     # best count, ties by value
     ch = tree.d_children[0]
     valid = ch >= 0
-    chs = jnp.maximum(ch, 0)
-    counts = jnp.where(valid, tree.c_count[chs], -1)
+    ch_oh = (ch[:, None] == jnp.arange(Nc, dtype=jnp.int32)[None, :]) & valid[:, None]
+    counts = jnp.where(valid, jnp.sum(jnp.where(ch_oh, tree.c_count[None, :], 0), axis=1), -1)
+    cvals = jnp.sum(jnp.where(ch_oh, tree.c_value[None, :], 0.0), axis=1)
     tie = valid & (counts == jnp.max(counts))
-    action = jnp.argmax(jnp.where(tie, tree.c_value[chs], -jnp.inf))
+    action = jnp.argmax(jnp.where(tie, cvals, -jnp.inf))
     return action, tree
 
 

@@ -27,6 +27,7 @@ from rl_agents_tpu.agents.tree_search.common import allocation
 from rl_agents_tpu.agents.tree_search.olop import OLOPAgent, parse_threshold
 from rl_agents_tpu.envs.base import FunctionalEnv
 from rl_agents_tpu.ops.hashing import obs_key
+from rl_agents_tpu.ops.onehot import onehot, select_row
 from rl_agents_tpu.utils.math import kl_upper_bound, max_expectation_under_constraint
 
 
@@ -98,38 +99,49 @@ def mdp_gape_plan(env: FunctionalEnv, params, state0, key, num_actions: int,
     )
 
     def expand_decision(tree, node):
-        """Create A chance children (mdp_gape.py:162-170)."""
-        is_leaf = tree.d_children[node, 0] < 0
+        """Create A chance children (mdp_gape.py:162-170). All arena access
+        in this planner is one-hot masked (ops/onehot.py): per-lane scalar
+        indexing under a tree-batch vmap is the TPU pathology."""
+        oh_n = onehot(node, Nd)
+        ch0 = select_row(tree.d_children, oh_n)
+        is_leaf = ch0[0] < 0
         base = tree.c_used
         ids = base + jnp.arange(A, dtype=jnp.int32)
-        d = tree.d_depth[node]
+        iota_c = jnp.arange(Nc, dtype=jnp.int32)
+        oh_blk = (iota_c >= base) & (iota_c < base + A) & is_leaf
+        d = select_row(tree.d_depth, oh_n)
         return tree._replace(
-            d_children=jnp.where(is_leaf, tree.d_children.at[node].set(ids),
+            d_children=jnp.where(oh_n[:, None] & is_leaf, ids[None, :],
                                  tree.d_children),
-            c_parent=jnp.where(is_leaf, tree.c_parent.at[ids].set(node), tree.c_parent),
-            c_depth=jnp.where(is_leaf, tree.c_depth.at[ids].set(d), tree.c_depth),
-            c_value_upper=jnp.where(is_leaf, tree.c_value_upper.at[ids].set(init_upper(d)),
-                                    tree.c_value_upper),
+            c_parent=jnp.where(oh_blk, node, tree.c_parent),
+            c_depth=jnp.where(oh_blk, d, tree.c_depth),
+            c_value_upper=jnp.where(oh_blk, init_upper(d), tree.c_value_upper),
             c_used=tree.c_used + jnp.where(is_leaf, A, 0))
 
     def placeholder_stats(tree, chance):
         """Stats of the W next-state slots; unfilled slots are placeholders
         (count 0, mu in [0,1], vacuous value bounds)."""
-        ch = tree.c_children[chance]
+        oh_c = onehot(chance, Nc)
+        ch = select_row(tree.c_children, oh_c)
         filled = ch >= 0
-        chs = jnp.maximum(ch, 0)
-        d_next = tree.c_depth[chance] + 1
-        counts = jnp.where(filled, tree.d_count[chs], 0)
-        mu_ucb = jnp.where(filled, tree.d_mu_ucb[chs], 1.0)
-        mu_lcb = jnp.where(filled, tree.d_mu_lcb[chs], 0.0)
-        v_up = jnp.where(filled, tree.d_value_upper[chs], init_upper(d_next))
-        v_lo = jnp.where(filled, tree.d_value_lower[chs], 0.0)
+        ch_oh = (ch[:, None] == jnp.arange(Nd, dtype=jnp.int32)[None, :]) \
+            & filled[:, None]                                        # [W, Nd]
+        sel = lambda arr, fill: jnp.where(
+            filled, jnp.sum(jnp.where(ch_oh, arr[None, :], jnp.zeros((), arr.dtype)),
+                            axis=1), fill)
+        d_next = select_row(tree.c_depth, oh_c) + 1
+        counts = sel(tree.d_count, 0)
+        mu_ucb = sel(tree.d_mu_ucb, 1.0)
+        mu_lcb = sel(tree.d_mu_lcb, 0.0)
+        v_up = sel(tree.d_value_upper, init_upper(d_next))
+        v_lo = sel(tree.d_value_lower, 0.0)
         return counts, mu_ucb, mu_lcb, v_up, v_lo
 
     def backup_chance(tree, chance):
         """Constrained-expectation Bellman backup (mdp_gape.py:288-305)."""
         counts, mu_ucb, mu_lcb, v_up, v_lo = placeholder_stats(tree, chance)
-        total = jnp.maximum(tree.c_count[chance].astype(jnp.float32), 1.0)
+        oh_c = onehot(chance, Nc)
+        total = jnp.maximum(select_row(tree.c_count, oh_c).astype(jnp.float32), 1.0)
         p_hat = counts.astype(jnp.float32) / total
         threshold = transition_threshold_coeff * jnp.log(jnp.float32(episodes)) / total
         u_next = mu_ucb + gamma * v_up
@@ -137,28 +149,38 @@ def mdp_gape_plan(env: FunctionalEnv, params, state0, key, num_actions: int,
         p_plus = max_expectation_under_constraint(u_next, p_hat, threshold)
         p_minus = max_expectation_under_constraint(-l_next, p_hat, threshold)
         return tree._replace(
-            c_value_upper=tree.c_value_upper.at[chance].set(p_plus @ u_next),
-            c_value_lower=tree.c_value_lower.at[chance].set(p_minus @ l_next))
+            c_value_upper=jnp.where(oh_c, p_plus @ u_next, tree.c_value_upper),
+            c_value_lower=jnp.where(oh_c, p_minus @ l_next, tree.c_value_lower))
 
     def backup_decision(tree, node):
         """V = max_a Q over chance children; leaves at horizon get 0
         (mdp_gape.py:214-226)."""
-        ch = tree.d_children[node]
+        oh_n = onehot(node, Nd)
+        ch = select_row(tree.d_children, oh_n)
         valid = ch >= 0
         has = jnp.any(valid)
-        chs = jnp.maximum(ch, 0)
-        up = jnp.max(jnp.where(valid, tree.c_value_upper[chs], -jnp.inf))
-        lo = jnp.max(jnp.where(valid, tree.c_value_lower[chs], -jnp.inf))
+        ch_oh = (ch[:, None] == jnp.arange(Nc, dtype=jnp.int32)[None, :]) \
+            & valid[:, None]
+        c_up = jnp.sum(jnp.where(ch_oh, tree.c_value_upper[None, :], 0.0), axis=1)
+        c_lo = jnp.sum(jnp.where(ch_oh, tree.c_value_lower[None, :], 0.0), axis=1)
+        up = jnp.max(jnp.where(valid, c_up, -jnp.inf))
+        lo = jnp.max(jnp.where(valid, c_lo, -jnp.inf))
         return tree._replace(
-            d_value_upper=tree.d_value_upper.at[node].set(jnp.where(has, up, 0.0)),
-            d_value_lower=tree.d_value_lower.at[node].set(jnp.where(has, lo, 0.0)))
+            d_value_upper=jnp.where(oh_n, jnp.where(has, up, 0.0), tree.d_value_upper),
+            d_value_lower=jnp.where(oh_n, jnp.where(has, lo, 0.0), tree.d_value_lower))
 
     def root_gaps(tree):
         """UGapE quantities at the root (mdp_gape.py:228-249)."""
-        ch = jnp.maximum(tree.d_children[0], 0)
-        valid = tree.d_children[0] >= 0
-        up = jnp.where(valid, tree.c_value_upper[ch], -jnp.inf)
-        lo = jnp.where(valid, tree.c_value_lower[ch], jnp.inf)
+        ch0 = tree.d_children[0]
+        valid = ch0 >= 0
+        ch_oh = (ch0[:, None] == jnp.arange(Nc, dtype=jnp.int32)[None, :]) \
+            & valid[:, None]
+        up = jnp.where(valid,
+                       jnp.sum(jnp.where(ch_oh, tree.c_value_upper[None, :], 0.0),
+                               axis=1), -jnp.inf)
+        lo = jnp.where(valid,
+                       jnp.sum(jnp.where(ch_oh, tree.c_value_lower[None, :], 0.0),
+                               axis=1), jnp.inf)
         # gap_k = max_{j != k} up_j - lo_k
         up_sorted = jnp.sort(up)[::-1]
         best_other = jnp.where(up == up_sorted[0],
@@ -185,59 +207,68 @@ def mdp_gape_plan(env: FunctionalEnv, params, state0, key, num_actions: int,
             k, ka, ks = jax.random.split(k, 3)
             # sampling rule (mdp_gape.py:183-198)
             selected, _, _, _ = root_gaps(tree)
-            ch = tree.d_children[node]
+            oh_n = onehot(node, Nd)
+            ch = select_row(tree.d_children, oh_n)
             valid = ch >= 0
-            chs = jnp.maximum(ch, 0)
-            ups = jnp.where(valid, tree.c_value_upper[chs], -jnp.inf)
+            ch_oh = (ch[:, None] == jnp.arange(Nc, dtype=jnp.int32)[None, :]) \
+                & valid[:, None]
+            ups = jnp.where(valid,
+                            jnp.sum(jnp.where(ch_oh, tree.c_value_upper[None, :], 0.0),
+                                    axis=1), -jnp.inf)
             ties = valid & (ups == jnp.max(ups))
             optimistic = jax.random.categorical(ka, jnp.where(ties, 0.0, -jnp.inf))
             action = jnp.where(node == 0, selected, optimistic)
 
-            chance = tree.d_children[node, action]
+            chance = jnp.sum(jnp.where(jnp.arange(A) == action, ch, 0))
             out = env.step(params, state, action, ks)
 
             # next-state slot by obs key (mdp_gape.py:272-286)
             okey = obs_key(out.obs)
-            keys_row = tree.c_child_keys[chance]
-            n = tree.c_n_children[chance]
+            oh_c = onehot(chance, Nc)
+            keys_row = select_row(tree.c_child_keys, oh_c)
+            children_row = select_row(tree.c_children, oh_c)
+            n = select_row(tree.c_n_children, oh_c)
             slots = jnp.arange(W)
             match = (keys_row == okey) & (slots < n)
             exists = jnp.any(match)
             insert = (~exists) & (n < W)
             slot = jnp.where(exists, jnp.argmax(match), jnp.minimum(n, W - 1))
             new_id = tree.d_used
-            child = jnp.where(insert, new_id,
-                              jnp.maximum(tree.c_children[chance, slot], 0))
-            d_next = tree.c_depth[chance] + 1
+            oh_w = onehot(slot, W)
+            existing_child = jnp.sum(jnp.where(oh_w, children_row, 0))
+            child = jnp.where(insert, new_id, jnp.maximum(existing_child, 0))
+            d_next = select_row(tree.c_depth, oh_c) + 1
+            oh_cw = oh_c[:, None] & oh_w[None, :]
+            oh_new_d = onehot(new_id, Nd)
             tree = tree._replace(
-                c_child_keys=jnp.where(insert, tree.c_child_keys.at[chance, slot].set(okey),
-                                       tree.c_child_keys),
-                c_children=jnp.where(insert, tree.c_children.at[chance, slot].set(new_id),
-                                     tree.c_children),
-                c_n_children=tree.c_n_children + jnp.where(
-                    insert, jnp.zeros_like(tree.c_n_children).at[chance].set(1), 0),
-                d_parent=jnp.where(insert, tree.d_parent.at[new_id].set(chance), tree.d_parent),
-                d_depth=jnp.where(insert, tree.d_depth.at[new_id].set(d_next), tree.d_depth),
-                d_value_upper=jnp.where(insert,
-                                        tree.d_value_upper.at[new_id].set(init_upper(d_next)),
+                c_child_keys=jnp.where(oh_cw & insert, okey, tree.c_child_keys),
+                c_children=jnp.where(oh_cw & insert, new_id, tree.c_children),
+                c_n_children=tree.c_n_children + (oh_c & insert).astype(jnp.int32),
+                d_parent=jnp.where(oh_new_d & insert, chance, tree.d_parent),
+                d_depth=jnp.where(oh_new_d & insert, d_next, tree.d_depth),
+                d_value_upper=jnp.where(oh_new_d & insert, init_upper(d_next),
                                         tree.d_value_upper),
                 d_used=tree.d_used + insert.astype(jnp.int32))
 
             # statistics updates (mdp_gape.py:85-87, OLOPNode.update semantics)
-            done = out.terminated | tree.d_done[child]
+            oh_child = onehot(child, Nd)
+            done = out.terminated | jnp.any(oh_child & tree.d_done)
             reward = jnp.where(done, 0.0, out.reward.astype(jnp.float32))
-            cum = tree.d_cum_reward[child] + reward
-            cnt = tree.d_count[child] + 1
+            cum = select_row(tree.d_cum_reward, oh_child) + reward
+            cnt = select_row(tree.d_count, oh_child) + 1
             thr = reward_threshold(cnt)
             tree = tree._replace(
-                c_count=tree.c_count.at[chance].add(1),
-                d_count=tree.d_count.at[child].set(cnt),
-                d_cum_reward=tree.d_cum_reward.at[child].set(cum),
-                d_done=tree.d_done.at[child].set(done),
-                d_mu_ucb=tree.d_mu_ucb.at[child].set(
-                    kl_upper_bound(cum, cnt.astype(jnp.float32), thr)),
-                d_mu_lcb=tree.d_mu_lcb.at[child].set(
-                    kl_upper_bound(cum, cnt.astype(jnp.float32), thr, lower=True)))
+                c_count=tree.c_count + oh_c.astype(jnp.int32),
+                d_count=jnp.where(oh_child, cnt, tree.d_count),
+                d_cum_reward=jnp.where(oh_child, cum, tree.d_cum_reward),
+                d_done=tree.d_done | (oh_child & done),
+                d_mu_ucb=jnp.where(oh_child,
+                                   kl_upper_bound(cum, cnt.astype(jnp.float32), thr),
+                                   tree.d_mu_ucb),
+                d_mu_lcb=jnp.where(oh_child,
+                                   kl_upper_bound(cum, cnt.astype(jnp.float32), thr,
+                                                  lower=True),
+                                   tree.d_mu_lcb))
             return (tree, child, out.state, k), child
 
         (tree, leaf, _, _), _ = jax.lax.scan(
@@ -251,12 +282,12 @@ def mdp_gape_plan(env: FunctionalEnv, params, state0, key, num_actions: int,
         def up_body(c):
             n, tree = c
             tree = backup_decision(tree, n)
-            chance = tree.d_parent[n]
+            chance = select_row(tree.d_parent, onehot(n, Nd))
 
             def via_chance(args):
                 chance, tree = args
                 tree = backup_chance(tree, chance)
-                return tree.c_parent[chance], tree
+                return select_row(tree.c_parent, onehot(chance, Nc)), tree
 
             nxt, tree = jax.lax.cond(chance >= 0, via_chance,
                                      lambda a: (jnp.int32(-1), a[1]), (chance, tree))

@@ -23,6 +23,7 @@ import numpy as np
 
 from rl_agents_tpu.agents.tree_search.common import AbstractTreeSearchAgent, allocation
 from rl_agents_tpu.envs.base import FunctionalEnv
+from rl_agents_tpu.ops.onehot import onehot, select_row
 from rl_agents_tpu.utils.math import kl_upper_bound
 
 
@@ -95,42 +96,49 @@ def olop_plan(env: FunctionalEnv, params, state0, key, num_actions: int, episode
         # ---- descend one action sequence, expanding as needed -----------
         def step_h(carry, h):
             tree, node, state, k = carry
-            # expand when leaf (reference: olop.py:79-82)
-            is_leaf = tree.children[node, 0] < 0
+            # expand when leaf (reference: olop.py:79-82). All arena access
+            # is one-hot masked (ops/onehot.py): per-lane scalar indexing
+            # under a tree-batch vmap is the TPU pathology.
+            oh_node = onehot(node, N)
+            ch0 = select_row(tree.children, oh_node)
+            is_leaf = ch0[0] < 0
             base = tree.used
             child_ids = base + jnp.arange(A, dtype=jnp.int32)
-            d = tree.depth[node] + 1
+            iota_n = jnp.arange(N, dtype=jnp.int32)
+            oh_blk = (iota_n >= base) & (iota_n < base + A) & is_leaf
+            d = select_row(tree.depth, oh_node) + 1
             tree = tree._replace(
-                children=tree.children.at[node].set(
-                    jnp.where(is_leaf, child_ids, tree.children[node])),
-                parent=jnp.where(is_leaf, tree.parent.at[child_ids].set(node), tree.parent),
-                depth=jnp.where(is_leaf, tree.depth.at[child_ids].set(d), tree.depth),
-                value_upper=jnp.where(
-                    is_leaf, tree.value_upper.at[child_ids].set(init_upper(d)),
-                    tree.value_upper),
+                children=jnp.where(oh_node[:, None] & is_leaf,
+                                   child_ids[None, :], tree.children),
+                parent=jnp.where(oh_blk, node, tree.parent),
+                depth=jnp.where(oh_blk, d, tree.depth),
+                value_upper=jnp.where(oh_blk, init_upper(d), tree.value_upper),
                 used=tree.used + jnp.where(is_leaf, A, 0),
             )
             k, ka, ks = jax.random.split(k, 3)
-            ch = tree.children[node]
+            ch = select_row(tree.children, oh_node)
             if continuation_uniform:
                 random_action = jax.random.randint(ka, (), 0, A)
             else:
                 random_action = jnp.zeros((), jnp.int32)
-            ucb_action = jnp.argmax(tree.value_upper[jnp.maximum(ch, 0)])
+            ch_oh = (ch[:, None] == iota_n[None, :]) & (ch >= 0)[:, None]
+            child_vu = jnp.sum(jnp.where(ch_oh, tree.value_upper[None, :], 0.0), axis=1)
+            ucb_action = jnp.argmax(jnp.where(ch >= 0, child_vu, -jnp.inf))
             action = jnp.where(is_leaf, random_action, ucb_action)
 
             out = env.step(params, state, action, ks)
-            child = ch[action]
+            child = jnp.sum(jnp.where(jnp.arange(A) == action, ch, 0))
+            oh_child = onehot(child, N)
             # node reward statistics update (reference: olop.py:132-142)
-            done = out.terminated | tree.done[child]
+            done = out.terminated | jnp.any(oh_child & tree.done)
             reward = jnp.where(done, 0.0, out.reward.astype(jnp.float32))
-            cum = tree.cum_reward[child] + reward
-            cnt = tree.count[child] + 1
+            cum = select_row(tree.cum_reward, oh_child) + reward
+            cnt = select_row(tree.count, oh_child) + 1
             tree = tree._replace(
-                cum_reward=tree.cum_reward.at[child].set(cum),
-                count=tree.count.at[child].set(cnt),
-                mu_ucb=tree.mu_ucb.at[child].set(reward_ucb(cum, cnt, episode)),
-                done=tree.done.at[child].set(done),
+                cum_reward=jnp.where(oh_child, cum, tree.cum_reward),
+                count=jnp.where(oh_child, cnt, tree.count),
+                mu_ucb=jnp.where(oh_child, reward_ucb(cum, cnt, episode), tree.mu_ucb),
+                done=tree.done | (oh_child & done),
             )
             return (tree, child, out.state, k), child
 
@@ -144,12 +152,17 @@ def olop_plan(env: FunctionalEnv, params, state0, key, num_actions: int, episode
 
         def up_body(c):
             n, vu = c
-            ch = tree.children[n]
+            oh_n = onehot(n, N)
+            ch = select_row(tree.children, oh_n)
             valid = ch >= 0
             has_children = jnp.any(valid)
-            best_child = jnp.max(jnp.where(valid, vu[jnp.maximum(ch, 0)], -jnp.inf))
-            new_v = jnp.where(has_children, tree.mu_ucb[n] + gamma * best_child, tree.mu_ucb[n])
-            return tree.parent[n], vu.at[n].set(new_v)
+            ch_oh = (ch[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :]) \
+                & valid[:, None]
+            child_vu = jnp.sum(jnp.where(ch_oh, vu[None, :], 0.0), axis=1)
+            best_child = jnp.max(jnp.where(valid, child_vu, -jnp.inf))
+            mu_n = select_row(tree.mu_ucb, oh_n)
+            new_v = jnp.where(has_children, mu_n + gamma * best_child, mu_n)
+            return select_row(tree.parent, oh_n), jnp.where(oh_n, new_v, vu)
 
         _, vu = jax.lax.while_loop(up_cond, up_body, (leaf, tree.value_upper))
         return tree._replace(value_upper=vu), key
@@ -159,14 +172,18 @@ def olop_plan(env: FunctionalEnv, params, state0, key, num_actions: int, episode
     # ---- plan extraction: best count, ties by value_upper (olop.py:126-130)
     def plan_body(carry, _):
         node, live = carry
-        ch = tree.children[node]
+        oh = onehot(node, N)
+        ch = select_row(tree.children, oh)
         valid = ch >= 0
-        chs = jnp.maximum(ch, 0)
-        counts = jnp.where(valid, tree.count[chs], -1)
+        ch_oh = (ch[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :]) & valid[:, None]
+        counts = jnp.where(valid,
+                           jnp.sum(jnp.where(ch_oh, tree.count[None, :], 0), axis=1), -1)
+        cvu = jnp.sum(jnp.where(ch_oh, tree.value_upper[None, :], 0.0), axis=1)
         tie = valid & (counts == jnp.max(counts))
-        action = jnp.argmax(jnp.where(tie, tree.value_upper[chs], -jnp.inf))
+        action = jnp.argmax(jnp.where(tie, cvu, -jnp.inf))
+        child = jnp.sum(jnp.where(jnp.arange(A) == action, ch, 0))
         emit = live & jnp.any(valid)
-        return (jnp.where(emit, ch[action], node), emit), jnp.where(emit, action, -1)
+        return (jnp.where(emit, child, node), emit), jnp.where(emit, action, -1)
 
     (_, _), actions = jax.lax.scan(
         plan_body, (jnp.zeros((), jnp.int32), jnp.asarray(True)), None, length=horizon)

@@ -46,50 +46,46 @@ def table_init(capacity: int) -> HashTable:
                      count=jnp.zeros((), jnp.int32))
 
 
+def _probe_slot(table: HashTable, key):
+    """First slot in linear-probe order holding ``key`` or empty — computed
+    DENSELY: probe rank per slot + one argmin, no while_loop. The loop
+    version costs a per-lane scalar gather per probe step under vmap (the
+    TPU pathology, see ops/onehot.py); this is O(T) full-array streams that
+    vectorize across a tree batch."""
+    T = table.keys.shape[0]
+    start = (key % jnp.uint32(T)).astype(jnp.int32)
+    rank = (jnp.arange(T, dtype=jnp.int32) - start) % T  # probe order position
+    candidate = (table.keys == key) | (table.keys == _EMPTY)
+    first_rank = jnp.min(jnp.where(candidate, rank, T))
+    slot = (start + first_rank) % T
+    found = first_rank < T  # False only when the table is full of other keys
+    slot_key = jnp.sum(jnp.where(jnp.arange(T) == slot, table.keys, jnp.uint32(0)))
+    return slot, slot_key, found
+
+
 def table_lookup_or_insert(table: HashTable, key, new_value):
     """Find ``key``; insert with ``new_value`` if absent.
 
-    Returns (table, value, is_new). Linear probing, bounded by table size.
-    When the table is full and the key is absent, returns (-1, False).
+    Returns (table, value, is_new). Linear-probing semantics, dense
+    formulation. When the table is full and the key is absent, returns
+    (-1, False).
     """
     T = table.keys.shape[0]
-    start = (key % jnp.uint32(T)).astype(jnp.int32)
-
-    def cond(carry):
-        i, found_slot, steps = carry
-        slot_key = table.keys[i]
-        done = (slot_key == key) | (slot_key == _EMPTY)
-        return (~done) & (steps < T)
-
-    def body(carry):
-        i, found_slot, steps = carry
-        return (i + 1) % T, found_slot, steps + 1
-
-    i, _, steps = jax.lax.while_loop(cond, body, (start, -1, 0))
-    slot_key = table.keys[i]
-    exists = slot_key == key
-    can_insert = (slot_key == _EMPTY) & (steps < T)
-    keys = jnp.where(can_insert, table.keys.at[i].set(key), table.keys)
-    values = jnp.where(can_insert, table.values.at[i].set(new_value), table.values)
+    slot, slot_key, found = _probe_slot(table, key)
+    exists = found & (slot_key == key)
+    can_insert = found & (slot_key == _EMPTY)
+    onehot = jnp.arange(T) == slot
+    keys = jnp.where(onehot & can_insert, key, table.keys)
+    values = jnp.where(onehot & can_insert, new_value, table.values)
     count = table.count + can_insert.astype(jnp.int32)
-    value = jnp.where(exists, table.values[i], jnp.where(can_insert, new_value, -1))
+    existing = jnp.sum(jnp.where(onehot, table.values, 0))
+    value = jnp.where(exists, existing, jnp.where(can_insert, new_value, -1))
     return HashTable(keys, values, count), value, can_insert
 
 
 def table_lookup(table: HashTable, key):
     """Find ``key``; returns -1 if absent."""
     T = table.keys.shape[0]
-    start = (key % jnp.uint32(T)).astype(jnp.int32)
-
-    def cond(carry):
-        i, steps = carry
-        slot_key = table.keys[i]
-        done = (slot_key == key) | (slot_key == _EMPTY)
-        return (~done) & (steps < T)
-
-    def body(carry):
-        i, steps = carry
-        return (i + 1) % T, steps + 1
-
-    i, _ = jax.lax.while_loop(cond, body, (start, 0))
-    return jnp.where(table.keys[i] == key, table.values[i], -1)
+    slot, slot_key, found = _probe_slot(table, key)
+    existing = jnp.sum(jnp.where(jnp.arange(T) == slot, table.values, 0))
+    return jnp.where(found & (slot_key == key), existing, -1)

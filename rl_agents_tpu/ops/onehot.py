@@ -53,3 +53,33 @@ def scatter_rows(arr, onehot, value):
     if value.ndim:
         value = value[None]
     return jnp.where(_expand_mask(onehot, arr), value, arr)
+
+
+# -- scalar-index variants for single-tree programs -------------------------
+# Inside a per-tree program the index is a scalar; these lower to dense [n]
+# streams that ``vmap`` turns into the fast batched [B, n] form — so a
+# planner written with them gets the one-hot speedup for free when vmapped
+# over a tree batch (the advanced-indexing form becomes a per-lane
+# gather/scatter instead, the TPU pathology).
+
+def onehot(idx, n: int):
+    """Scalar row index -> [n] bool mask (vmaps to [B, n])."""
+    return jnp.arange(n, dtype=jnp.int32) == idx
+
+
+def select_row(arr, mask):
+    """arr [N, ...] x mask [N] -> arr[idx] as a dense masked reduction."""
+    m = _expand_mask(mask, arr)
+    if arr.dtype == jnp.bool_:
+        return jnp.any(m & arr, axis=0)
+    return jnp.sum(jnp.where(m, arr, jnp.zeros((), arr.dtype)), axis=0)
+
+
+def select_row_tree(tree, mask):
+    return jax.tree.map(lambda x: select_row(x, mask), tree)
+
+
+def set_row(arr, mask, value):
+    """arr [N, ...] with arr[idx] <- value, as a dense masked blend."""
+    value = jnp.asarray(value, arr.dtype)
+    return jnp.where(_expand_mask(mask, arr), value, arr)

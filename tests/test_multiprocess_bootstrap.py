@@ -54,8 +54,12 @@ def test_two_process_distributed_bootstrap(tmp_path):
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
 
+    # strip the axon sitecustomize injection too: its plugin registration can
+    # probe the (possibly busy) TPU tunnel during backend discovery in the
+    # workers, failing the bootstrap for reasons unrelated to this test
     env_base = {k: v for k, v in os.environ.items()
-                if not k.startswith(("JAX_", "XLA_"))}
+                if not k.startswith(("JAX_", "XLA_", "AXON", "PALLAS_AXON",
+                                     "PYTHONPATH"))}
     procs = []
     for rank in range(2):
         env = dict(
