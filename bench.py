@@ -193,28 +193,32 @@ def _roofline(flops_per_op, bytes_per_op, ops_per_sec, work_per_op, mfu=False):
     return out
 
 
-def chained_seconds_per_op(make_step):
-    """True device seconds per op: wall time of REPS chained (data-dependent)
-    repetitions in one program, minus the measured dispatch/transfer RTT,
-    divided by REPS. ``make_step(carry) -> scalar`` must make each repetition
-    depend on the previous one so the device cannot overlap them.
+def chained_seconds_per_op(make_step, reps=None):
+    """True device seconds per op: wall time of ``reps`` chained
+    (data-dependent) repetitions in one program, minus the measured
+    dispatch/transfer RTT, divided by reps. ``make_step(carry) -> scalar``
+    must make each repetition depend on the previous one so the device
+    cannot overlap them. Pass a larger ``reps`` for ops so fast that REPS
+    executions sit inside the RTT measurement noise.
 
     Returns ``(seconds_per_op, flops_per_op, bytes_per_op)`` with the FLOP /
     byte counts taken from XLA's cost analysis of the timed executable."""
+    reps = reps or REPS
+
     @jax.jit
     def many():
         def step(c, _):
             return make_step(c), None
-        c, _ = jax.lax.scan(step, jnp.float32(0), None, length=REPS)
+        c, _ = jax.lax.scan(step, jnp.float32(0), None, length=reps)
         return c
 
     compiled = many.lower().compile()
     flops, bytes_ = _cost(compiled)
     tr = _wall_median(lambda: float(many()))
-    dt = max((tr - _tunnel_rtt()) / REPS, 1e-9)
+    dt = max((tr - _tunnel_rtt()) / reps, 1e-9)
     return (dt,
-            flops / REPS if flops is not None else None,
-            bytes_ / REPS if bytes_ is not None else None)
+            flops / reps if flops is not None else None,
+            bytes_ / reps if bytes_ is not None else None)
 
 
 def bench_mcts(env, num_actions):
@@ -357,6 +361,44 @@ def bench_dqn_ego_attention(num_envs=64, steps=100):
                         capacity=10_000, batch_size=64)
 
 
+def bench_ego_attention_serving(batch=16384):
+    """Flagship EgoAttentionNetwork forward at serving batch in bf16 — the
+    pure-MXU measurement of the model itself (the fused-learner metric is
+    latency-bound at RL batch sizes; this one answers 'how fast can the
+    flagship model go when the batch is there').
+
+    Each chained step scales the input by a per-step factor: a fixed-point
+    chain (or one whose perturbation underflows in bf16) gets CSE'd by XLA
+    after unrolling, collapsing both the timing and the flop count
+    (measured: 128x). Per-forward FLOPs come from the UN-chained executable
+    for the same reason."""
+    from rl_agents_tpu.models import EgoAttentionNetwork
+
+    model = EgoAttentionNetwork(out=5, embedding_layers=(64, 64),
+                                others_embedding_layers=(64, 64),
+                                output_layers=(64,), feature_size=64, heads=4,
+                                dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, 15, 7), jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(1), x)
+    reps = 16 if _CPU_FALLBACK else 512
+
+    @jax.jit
+    def many():
+        def step(c, i):
+            scale = 1.0 + ((i % 5).astype(jnp.float32) - 2.0) * 0.01 \
+                + jnp.tanh(c) * 0.01
+            y = model.apply(params, x * scale.astype(jnp.bfloat16))
+            return jnp.sum(y).astype(jnp.float32) * 1e-6, None
+        c, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(reps))
+        return c
+
+    single = jax.jit(lambda xs: jnp.sum(model.apply(params, xs)))
+    flops, bytes_ = _cost(single.lower(x).compile())
+    tr = _wall_median(lambda: float(many()))
+    dt = max((tr - _tunnel_rtt()) / reps, 1e-9)
+    return batch / dt, _roofline(flops, bytes_, 1.0 / dt, batch, mfu=True)
+
+
 def bench_reference_mcts_cartpole(trials=3):
     """Reference MCTS (python object tree) on gymnasium's numpy CartPole —
     the reference's natural substrate, zero JAX dispatch in the loop."""
@@ -404,7 +446,9 @@ def main():
                      ("gbop_highway_expansions_per_sec", bench_gbop_highway),
                      ("dqn_fused_env_steps_per_sec", bench_dqn_fused),
                      ("dqn_ego_attention_env_steps_per_sec",
-                      bench_dqn_ego_attention)]:
+                      bench_dqn_ego_attention),
+                     ("ego_attention_serving_fwd_per_sec",
+                      bench_ego_attention_serving)]:
         try:
             val, roof = fn()
             extra[name] = round(val)

@@ -18,6 +18,7 @@ from rl_agents_tpu.agents.tree_search.mcts import _masked_random_argmax
 from rl_agents_tpu.agents.tree_search.mcts_dpw import DPWTree
 from rl_agents_tpu.envs.base import FunctionalEnv
 from rl_agents_tpu.ops.hashing import obs_key
+from rl_agents_tpu.ops.onehot import onehot, select_row
 
 
 @partial(jax.jit, static_argnames=("env", "num_actions", "episodes", "horizon", "width"))
@@ -50,27 +51,36 @@ def mcts_closed_loop_plan(env: FunctionalEnv, params, state0, key, prior_probs,
     c_prior = jnp.ones((Nc,))
 
     def expand_decision(tree, c_prior, node):
-        """All actions at once with priors (reference: mcts.py:237-246)."""
-        is_leaf = tree.d_children[node, 0] < 0
+        """All actions at once with priors (reference: mcts.py:237-246).
+        One-hot arena access (ops/onehot.py): per-lane scalar indexing under
+        a tree-batch vmap is the TPU pathology."""
+        oh_n = onehot(node, Nd)
+        is_leaf = select_row(tree.d_children, oh_n)[0] < 0
         base = tree.c_used
         ids = base + jnp.arange(A, dtype=jnp.int32)
+        iota_c = jnp.arange(Nc, dtype=jnp.int32)
+        oh_blk = (iota_c >= base) & (iota_c < base + A) & is_leaf
+        blk_action = (iota_c - base).astype(jnp.int32)
         tree = tree._replace(
-            d_children=jnp.where(is_leaf, tree.d_children.at[node].set(ids),
+            d_children=jnp.where(oh_n[:, None] & is_leaf, ids[None, :],
                                  tree.d_children),
-            d_n_children=jnp.where(is_leaf, tree.d_n_children.at[node].set(A),
-                                   tree.d_n_children),
-            c_parent=jnp.where(is_leaf, tree.c_parent.at[ids].set(node), tree.c_parent),
-            c_action=jnp.where(is_leaf, tree.c_action.at[ids].set(jnp.arange(A)),
-                               tree.c_action),
+            d_n_children=jnp.where(oh_n & is_leaf, A, tree.d_n_children),
+            c_parent=jnp.where(oh_blk, node, tree.c_parent),
+            c_action=jnp.where(oh_blk, blk_action, tree.c_action),
             c_used=tree.c_used + jnp.where(is_leaf, A, 0))
-        c_prior = jnp.where(is_leaf, c_prior.at[ids].set(prior_probs), c_prior)
+        blk_prior = jnp.sum(jnp.where(
+            (blk_action[:, None] == jnp.arange(A)[None, :]) & oh_blk[:, None],
+            prior_probs[None, :], 0.0), axis=1)
+        c_prior = jnp.where(oh_blk, blk_prior, c_prior)
         return tree, c_prior
 
     def obs_child(tree, chance, obs, k):
         """Obs-keyed chance child (reference: mcts.py:267-273), capped at W."""
         key_ = obs_key(obs)
-        keys_row = tree.c_child_keys[chance]
-        n = tree.c_n_children[chance]
+        oh_c = onehot(chance, Nc)
+        keys_row = select_row(tree.c_child_keys, oh_c)
+        children_row = select_row(tree.c_children, oh_c)
+        n = select_row(tree.c_n_children, oh_c)
         slots = jnp.arange(W)
         match = (keys_row == key_) & (slots < n)
         exists = jnp.any(match)
@@ -79,15 +89,16 @@ def mcts_closed_loop_plan(env: FunctionalEnv, params, state0, key, prior_probs,
         random_slot = jax.random.randint(kr, (), 0, jnp.maximum(n, 1))
         slot = jnp.where(exists, jnp.argmax(match), jnp.where(insert, n, random_slot))
         new_id = tree.d_used
-        child = jnp.where(insert, new_id, tree.c_children[chance, slot])
+        oh_w = onehot(slot, W)
+        child = jnp.where(insert, new_id,
+                          jnp.sum(jnp.where(oh_w, children_row, 0)))
+        oh_cw = oh_c[:, None] & oh_w[None, :]
+        oh_new_d = onehot(new_id, Nd)
         tree = tree._replace(
-            c_child_keys=jnp.where(insert, tree.c_child_keys.at[chance, slot].set(key_),
-                                   tree.c_child_keys),
-            c_children=jnp.where(insert, tree.c_children.at[chance, slot].set(new_id),
-                                 tree.c_children),
-            c_n_children=tree.c_n_children + jnp.where(
-                insert, jnp.zeros_like(tree.c_n_children).at[chance].set(1), 0),
-            d_parent=jnp.where(insert, tree.d_parent.at[new_id].set(chance), tree.d_parent),
+            c_child_keys=jnp.where(oh_cw & insert, key_, tree.c_child_keys),
+            c_children=jnp.where(oh_cw & insert, new_id, tree.c_children),
+            c_n_children=tree.c_n_children + (oh_c & insert).astype(jnp.int32),
+            d_parent=jnp.where(oh_new_d & insert, chance, tree.d_parent),
             d_used=tree.d_used + insert.astype(jnp.int32))
         return tree, child, k
 
@@ -97,20 +108,26 @@ def mcts_closed_loop_plan(env: FunctionalEnv, params, state0, key, prior_probs,
 
         def cond(c):
             tree, c_prior, node, state, depth, total, terminal, k = c
-            return (tree.d_children[node, 0] >= 0) & (depth < horizon) & ~terminal
+            first_child = select_row(tree.d_children, onehot(node, Nd))[0]
+            return (first_child >= 0) & (depth < horizon) & ~terminal
 
         def body(c):
             tree, c_prior, node, state, depth, total, terminal, k = c
-            ch = tree.d_children[node]
+            ch = select_row(tree.d_children, onehot(node, Nd))
             valid = ch >= 0
-            chs = jnp.maximum(ch, 0)
+            ch_oh = (ch[:, None] == jnp.arange(Nc, dtype=jnp.int32)[None, :]) \
+                & valid[:, None]
+            cvals = jnp.sum(jnp.where(ch_oh, tree.c_value[None, :], 0.0), axis=1)
+            cprior = jnp.sum(jnp.where(ch_oh, c_prior[None, :], 0.0), axis=1)
+            ccnt = jnp.sum(jnp.where(ch_oh, tree.c_count[None, :], 0), axis=1)
             n_children = jnp.sum(valid).astype(jnp.float32)
-            scores = tree.c_value[chs] + temperature * n_children * c_prior[chs] / (
-                tree.c_count[chs].astype(jnp.float32) + 1.0)
+            scores = cvals + temperature * n_children * cprior / (
+                ccnt.astype(jnp.float32) + 1.0)
             k, ka, ks = jax.random.split(k, 3)
             action = _masked_random_argmax(ka, scores, valid)
             out = env.step(params, state, action, ks)
-            tree, child, k = obs_child(tree, ch[action], out.obs, k)
+            sel_chance = jnp.sum(jnp.where(jnp.arange(A) == action, ch, 0))
+            tree, child, k = obs_child(tree, sel_chance, out.obs, k)
             total = total + gamma ** depth.astype(jnp.float32) * out.reward
             return (tree, c_prior, child, out.state, depth + 1, total,
                     terminal | out.terminated, k)
@@ -145,21 +162,20 @@ def mcts_closed_loop_plan(env: FunctionalEnv, params, state0, key, prior_probs,
 
         def up_body(c):
             n, d_count, d_value, c_count, c_value = c
-            d_count = d_count.at[n].add(1)
-            d_value = d_value.at[n].add((total - d_value[n]) / d_count[n].astype(jnp.float32))
-            chance = tree.d_parent[n]
-
-            def upd(args):
-                chance, c_count, c_value = args
-                c_count = c_count.at[chance].add(1)
-                c_value = c_value.at[chance].add(
-                    (total - c_value[chance]) / c_count[chance].astype(jnp.float32))
-                return c_count, c_value
-
-            c_count, c_value = jax.lax.cond(chance >= 0, upd,
-                                            lambda a: (a[1], a[2]),
-                                            (chance, c_count, c_value))
-            nxt = jnp.where(chance >= 0, tree.c_parent[chance], -1)
+            oh_n = onehot(n, Nd)
+            d_count = d_count + oh_n.astype(jnp.int32)
+            cnt = jnp.sum(jnp.where(oh_n, d_count, 0)).astype(jnp.float32)
+            v_old = jnp.sum(jnp.where(oh_n, d_value, 0.0))
+            d_value = jnp.where(oh_n, v_old + (total - v_old) / cnt, d_value)
+            chance = jnp.sum(jnp.where(oh_n, tree.d_parent, 0))
+            has = chance >= 0
+            oh_ch = onehot(chance, Nc) & has
+            c_count = c_count + oh_ch.astype(jnp.int32)
+            c_cnt = jnp.maximum(jnp.sum(jnp.where(oh_ch, c_count, 0)), 1).astype(jnp.float32)
+            c_old = jnp.sum(jnp.where(oh_ch, c_value, 0.0))
+            c_value = jnp.where(oh_ch, c_old + (total - c_old) / c_cnt, c_value)
+            nxt = jnp.where(has,
+                            jnp.sum(jnp.where(onehot(chance, Nc), tree.c_parent, 0)), -1)
             return nxt, d_count, d_value, c_count, c_value
 
         _, d_count, d_value, c_count, c_value = jax.lax.while_loop(
@@ -174,8 +190,9 @@ def mcts_closed_loop_plan(env: FunctionalEnv, params, state0, key, prior_probs,
     # plan: first action only (conditioned on observations thereafter)
     ch = tree.d_children[0]
     valid = ch >= 0
-    chs = jnp.maximum(ch, 0)
-    counts = jnp.where(valid, tree.c_count[chs], -1)
+    ch_oh = (ch[:, None] == jnp.arange(Nc, dtype=jnp.int32)[None, :]) & valid[:, None]
+    counts = jnp.where(valid, jnp.sum(jnp.where(ch_oh, tree.c_count[None, :], 0), axis=1), -1)
+    cvals = jnp.sum(jnp.where(ch_oh, tree.c_value[None, :], 0.0), axis=1)
     tie = valid & (counts == jnp.max(counts))
-    action = jnp.argmax(jnp.where(tie, tree.c_value[chs], -jnp.inf))
+    action = jnp.argmax(jnp.where(tie, cvals, -jnp.inf))
     return action, tree
