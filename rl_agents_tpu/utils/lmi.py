@@ -38,12 +38,18 @@ def _lmax_smooth(M, tau):
     return tau * jax.nn.logsumexp(w / tau)
 
 
-@partial(jax.jit, static_argnames=("build", "iters"))
-def _descend(build, theta0, iters: int, lr: float, tau: float, delta: float,
-             eps: float):
+def _make_opt(lr):
     import optax
 
-    opt = optax.adam(lr)
+    return optax.adam(lr)
+
+
+@partial(jax.jit, static_argnames=("build", "iters"))
+def _descend(build, theta0, opt_state0, iters: int, lr: float, tau: float,
+             delta: float, eps: float):
+    import optax
+
+    opt = _make_opt(lr)
 
     def penalty(theta):
         M, elementwise = build(theta)
@@ -60,27 +66,47 @@ def _descend(build, theta0, iters: int, lr: float, tau: float, delta: float,
         theta = optax.apply_updates(theta, updates)
         return (theta, opt_state), loss
 
-    (theta, _), losses = jax.lax.scan(step, (theta0, opt.init(theta0)),
-                                      length=iters)
-    return theta, losses
+    (theta, opt_state), losses = jax.lax.scan(step, (theta0, opt_state0),
+                                              length=iters)
+    return theta, opt_state, losses
+
+
+def _certify(build, theta, eps, tol):
+    """Exact verification of the ORIGINAL constraints (never falsely
+    certifies)."""
+    M, elementwise = build(theta)
+    M = 0.5 * (M + np.asarray(M).T)
+    lmax = float(np.max(np.linalg.eigvalsh(np.asarray(M, np.float64))))
+    return lmax <= tol and all(float(np.min(np.asarray(g))) >= 0.5 * eps
+                               for g in elementwise)
 
 
 def solve_spectral_feasibility(build, theta0, iters: int = 8000, lr: float = 0.02,
                                tau: float = 1e-2, delta: float = 1e-3,
-                               eps: float = 1e-6, tol: float = 0.0):
+                               eps: float = 1e-6, tol: float = 0.0,
+                               check_every: int = 1000):
     """Solve ``M(theta) <= 0, g_i(theta) >= eps`` for the pytree ``theta``.
 
     ``build(theta) -> (M, [g_i...])`` must be traceable and affine/concave as
     described above. Returns ``(theta, True)`` when the exact verification
     passes, ``(theta, False)`` otherwise.
+
+    The descent runs in ``check_every``-iteration chunks (Adam state carried
+    across chunks, so the trajectory matches one long run) with the exact
+    eigvalsh certification after each — well-conditioned feasible systems
+    certify after one or two chunks instead of paying the full ``iters``
+    budget (r2 VERDICT weak #7).
     """
-    theta, _ = _descend(build, theta0, iters, lr, tau, delta, eps)
-    M, elementwise = build(theta)
-    M = 0.5 * (M + np.asarray(M).T)
-    lmax = float(np.max(np.linalg.eigvalsh(np.asarray(M, np.float64))))
-    ok = lmax <= tol and all(float(np.min(np.asarray(g))) >= 0.5 * eps
-                             for g in elementwise)
-    return jax.tree.map(np.asarray, theta), ok
+    opt_state = _make_opt(lr).init(theta0)
+    theta, done = theta0, 0
+    while done < iters:
+        chunk = min(check_every, iters - done)
+        theta, opt_state, _ = _descend(build, theta, opt_state, chunk, lr,
+                                       tau, delta, eps)
+        done += chunk
+        if _certify(build, theta, eps, tol):
+            return jax.tree.map(np.asarray, theta), True
+    return jax.tree.map(np.asarray, theta), False
 
 
 # ---------------------------------------------------------------------------
