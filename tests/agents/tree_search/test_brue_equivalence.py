@@ -81,4 +81,4 @@ def test_brue_action_distribution_equivalence():
     tv = 0.5 * np.abs(ref_p - our_p).sum()
     # same modal recommendation and close distributions
     assert ref_counts.argmax() == our_counts.argmax()
-    assert tv <= 0.2, (ref_counts.tolist(), our_counts.tolist())
+    assert tv <= 0.1, (ref_counts.tolist(), our_counts.tolist())

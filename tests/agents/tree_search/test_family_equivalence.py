@@ -98,7 +98,7 @@ def _seeded(planner, seed):
     return planner
 
 
-def _tv_assert(ref_counts, our_counts, bound=0.2):
+def _tv_assert(ref_counts, our_counts, bound=0.1):
     ref_p = ref_counts / ref_counts.sum()
     our_p = our_counts / our_counts.sum()
     tv = 0.5 * np.abs(ref_p - our_p).sum()

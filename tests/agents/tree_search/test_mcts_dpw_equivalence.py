@@ -127,4 +127,4 @@ def test_mcts_dpw_action_distribution_equivalence():
     # make any planner agree trivially
     assert (ref_counts > 0).sum() >= 2 and (our_counts > 0).sum() >= 2
     assert ref_counts.argmax() == our_counts.argmax()
-    assert tv <= 0.2, (ref_counts.tolist(), our_counts.tolist())
+    assert tv <= 0.1, (ref_counts.tolist(), our_counts.tolist())

@@ -212,6 +212,34 @@ def test_fused_actor_learner_checkpoint_under_pod_mesh(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_fused_actor_learner_flagship_highway():
+    """The FLAGSHIP configuration under the pod mesh: EgoAttentionNetwork
+    learner on the functional highway env, env batch + replay sharded over
+    (host, dp) — the BASELINE configs 4-5 recipe running as one SPMD
+    program (reference: scripts/configs/HighwayEnv/agents/DQNAgent/
+    ego_attention.json + trainer/evaluation.py:196-290)."""
+    from rl_agents_tpu.envs.highway import HighwayEnv
+    from rl_agents_tpu.models import EgoAttentionNetwork
+    from rl_agents_tpu.parallel.actor_learner import make_sharded_actor_learner
+
+    pod = make_pod_mesh(axes=("host", "dp"), hosts=2)
+    env = HighwayEnv(vehicles=6, lanes=3, max_episode_steps=20)
+    model = EgoAttentionNetwork(out=5, embedding_layers=(16,),
+                                others_embedding_layers=(16,),
+                                output_layers=(16,), feature_size=16, heads=2)
+    init_fn, segment_fn, _ = make_sharded_actor_learner(
+        env, model, optax.adam(5e-4), pod, num_shards=8, envs_per_shard=2,
+        capacity=64, batch_size=4, learning_starts=8)
+    state = init_fn(jax.random.PRNGKey(7))
+    assert state.obs.shape == (8, 2, 6, 5)
+    state, mean_reward = segment_fn(state, steps=10)
+    assert np.isfinite(float(mean_reward))
+    assert int(state.time) == 10 and int(state.size) == 20
+    for leaf in jax.tree.leaves(state.params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+    assert state.buffer.state.sharding.spec[0] == ("host", "dp")
+
+
 def test_fused_actor_learner_tp_params():
     """With tp=True on a (host, dp, tp) mesh the Q-network kernels shard
     their hidden dim over tp while the data axes still carry the env batch —
