@@ -222,6 +222,62 @@ class DQNAgent(AbstractStochasticAgent):
     def train(self):
         self.training = True
 
+    # ------------------------------------------------------------------
+    # Fused whole-run training (config key "fused": true)
+    # ------------------------------------------------------------------
+    def train_fused(self, env_handle, num_episodes, writer=None):
+        """Run the whole training as ONE fused on-device actor-learner
+        (parallel/actor_learner.py): E vectorised envs act, write a device
+        replay ring and take one SGD step per env-batch step — the
+        reference's per-step record loop (abstract.py:37-63) without a
+        single host round-trip, replacing its worker-pool collection
+        (evaluation.py:196-290). The learned params/target/optimizer state
+        are synced back into the agent afterwards so act/eval/save/export
+        behave as if training had run through ``record``.
+
+        The step budget matches the episode-count contract:
+        ``num_episodes * max_episode_steps`` env transitions across
+        ``fused_envs`` parallel envs."""
+        from rl_agents_tpu.parallel.actor_learner import make_actor_learner
+
+        functional = env_handle.functional
+        expl = dict(self.exploration_policy.config)
+        num_envs = int(self.config.get("fused_envs", 32))
+        max_steps = int(getattr(functional, "max_episode_steps", 200) or 200)
+        total = max(num_episodes * max_steps // num_envs, 1)
+        segment = min(max(total // 10, 1), 1000)
+
+        init_fn, segment_fn = make_actor_learner(
+            functional, self.model, self.optimizer,
+            num_envs=num_envs,
+            capacity=int(self.config["memory_capacity"]),
+            batch_size=int(self.config["batch_size"]),
+            gamma=float(self.config["gamma"]),
+            double=bool(self.config["double"]),
+            target_update=int(self.config["target_update"]),
+            eps_init=float(expl.get("temperature", 1.0)),
+            eps_final=float(expl.get("final_temperature", 0.1)),
+            eps_tau=float(expl.get("tau", 5000)))
+        self.key, sub = jax.random.split(self.key)
+        state = init_fn(sub)
+        done_steps = 0
+        while done_steps < total:
+            steps = min(segment, total - done_steps)
+            state, mean_reward = segment_fn(state, steps=steps)
+            done_steps += steps
+            if writer is not None:
+                writer.add_scalar("episode/ema_return",
+                                  float(state.completed_return),
+                                  done_steps * num_envs)
+                writer.add_scalar("agent/mean_reward", float(mean_reward),
+                                  done_steps * num_envs)
+        self.train_state = TrainState(params=state.params,
+                                      target_params=state.target_params,
+                                      opt_state=state.opt_state)
+        self.exploration_policy.set_time(int(state.time))
+        self.steps = int(state.time)
+        return float(state.completed_return)
+
     def save(self, filename):
         filename = Path(filename)
         filename.parent.mkdir(parents=True, exist_ok=True)

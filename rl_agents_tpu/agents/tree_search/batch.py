@@ -78,3 +78,17 @@ def gbop_stochastic_plan_batch(env, params, states0, obs0, keys, **kw):
 def state_aware_plan_batch(env, params, states0, obs0, keys, **kw):
     """Batched state-aware OPD (reference: state_aware.py:10-137)."""
     return _batch_obs(state_aware_plan, env, params, states0, obs0, keys, **kw)
+
+
+def mcts_closed_loop_plan_batch(env, params, states0, keys, prior_probs,
+                                rollout_probs, **kw):
+    """Batched closed-loop MCTS (reference: mcts.py:147,267-273): chance
+    children keyed by observed outcomes, per-tree key tables on the batch
+    axis."""
+    from rl_agents_tpu.agents.tree_search.mcts_closed_loop import (
+        mcts_closed_loop_plan,
+    )
+
+    return jax.vmap(
+        lambda s, k: mcts_closed_loop_plan(env, params, s, k, prior_probs,
+                                           rollout_probs, **kw))(states0, keys)

@@ -137,11 +137,27 @@ class Evaluation:
     # ------------------------------------------------------------------
     def train(self):
         self.training = True
-        if getattr(self.agent, "batched", False):
+        if self.agent.config.get("fused") and hasattr(self.agent, "train_fused") \
+                and hasattr(self.env, "functional"):
+            self.run_fused_training()
+        elif getattr(self.agent, "batched", False):
             self.run_batched_episodes()
         else:
             self.run_episodes()
         self.close()
+
+    def run_fused_training(self):
+        """Whole-run fused actor-learner training (agent config
+        ``"fused": true``): the agent trains as one on-device program
+        (parallel/actor_learner.py — the TPU replacement for the reference's
+        per-step record loop AND its worker-pool collection,
+        evaluation.py:163-290), then the trained agent is checkpointed."""
+        logger.info("Fused on-device training: %d episode-equivalents",
+                    self.num_episodes)
+        ema = self.agent.train_fused(self.env, self.num_episodes,
+                                     writer=self.writer)
+        logger.info("Fused training done: EMA completed-episode return %.1f", ema)
+        # close() writes the "final" checkpoint (reference: evaluation.py:378-387)
 
     def test(self):
         self.training = False

@@ -275,3 +275,17 @@ def test_mcts_fused_divergent_state_groups(divergent_batch):
     dists = dists / dists.sum(axis=1, keepdims=True)
     spread = np.abs(dists[:, None, :] - dists[None, :, :]).sum(axis=2).max()
     assert spread > 0.2, f"state groups indistinguishable: {dists}"
+
+
+def test_mcts_closed_loop_plan_batch_scale(divergent_batch):
+    from rl_agents_tpu.agents.tree_search.batch import mcts_closed_loop_plan_batch
+
+    env, states0, s, keys = divergent_batch
+    probs = jnp.ones(3) / 3
+    action, _ = mcts_closed_loop_plan_batch(
+        env.functional, env.params, states0, keys, probs, probs,
+        num_actions=3, episodes=10, horizon=3, gamma=0.8, temperature=5.0,
+        width=4)
+    assert action.shape == (B,)
+    a = np.asarray(action)
+    assert a.min() >= 0 and a.max() < 3
