@@ -19,17 +19,28 @@ _EMPTY = jnp.uint32(0)
 
 
 def obs_key(obs, precision: float = 1e-4) -> jnp.ndarray:
-    """Hash an observation pytree to a uint32 key (0 is reserved)."""
+    """Hash an observation pytree to a uint32 key (0 is reserved).
+
+    Multiply-sum universal hashing + murmur-style avalanche: one dense
+    multiply, one reduction, five scalar mixes — O(1) sequential depth.
+    (The previous per-element fold was a ``lax.scan`` over every observation
+    scalar — ~75 sequential micro-ops per key on the highway obs, and the
+    dominant cost of the graph planners' expansion rounds on TPU, where each
+    tiny sequential step pays the loop-overhead floor.)"""
     leaves = jax.tree.leaves(obs)
     flat = jnp.concatenate([jnp.ravel(x).astype(jnp.float32) for x in leaves])
     q = jnp.round(flat / precision).astype(jnp.int32).astype(jnp.uint32)
-
-    def mix(h, x):
-        h = (h ^ x) * _MIX_PRIME
-        h = h ^ (h >> 15)
-        return h, None
-
-    h, _ = jax.lax.scan(mix, jnp.uint32(0x9E3779B9), q)
+    n = q.shape[0]
+    # fixed odd position multipliers (Weyl sequence): sum_i q_i * c_i mod 2^32
+    # is an almost-universal family
+    c = (jnp.arange(1, n + 1, dtype=jnp.uint32) * _MIX_PRIME) | jnp.uint32(1)
+    h = jnp.sum(q * c, dtype=jnp.uint32)
+    # murmur3 fmix32 avalanche
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
     return jnp.maximum(h, jnp.uint32(1))  # avoid the empty sentinel
 
 
