@@ -242,11 +242,11 @@ def make_sharded_actor_learner(env: FunctionalEnv, model, optimizer, mesh,
     def shardings_fn(state: ShardedActorLearnerState) -> ShardedActorLearnerState:
         if use_tp:
             p_spec = jax.tree.map(lambda s: NamedSharding(mesh, s),
-                                  mlp_param_spec(state.params))
+                                  mlp_param_spec(state.params, mesh=mesh))
             t_spec = jax.tree.map(lambda s: NamedSharding(mesh, s),
-                                  mlp_param_spec(state.target_params))
+                                  mlp_param_spec(state.target_params, mesh=mesh))
             o_spec = jax.tree.map(lambda s: NamedSharding(mesh, s),
-                                  mlp_param_spec(state.opt_state))
+                                  mlp_param_spec(state.opt_state, mesh=mesh))
         else:
             p_spec = jax.tree.map(_rep, state.params)
             t_spec = jax.tree.map(_rep, state.target_params)

@@ -45,14 +45,21 @@ def shard_batch(mesh: Mesh, batch, axis="dp"):
     return jax.tree.map(put, batch)
 
 
-def mlp_param_spec(params, tp_axis: str = "tp"):
+def mlp_param_spec(params, tp_axis: str = "tp", mesh: Optional[Mesh] = None):
     """Tensor-parallel sharding for MLP pytrees: shard hidden (output) dim of
-    kernels and biases over ``tp``; scalars/odd shapes replicated."""
+    kernels and biases over ``tp``; scalars/odd shapes replicated. Pass the
+    target ``mesh`` to replicate any leaf whose sharded dim does not divide
+    the tp axis (e.g. a small action head on a 2-way tp mesh)."""
+    tp_size = int(mesh.shape[tp_axis]) if mesh is not None else None
+
+    def divides(dim):
+        return tp_size is None or dim % tp_size == 0
+
     def spec(path, x):
         name = "/".join(str(p.key) if hasattr(p, "key") else str(p) for p in path)
-        if x.ndim == 2 and "kernel" in name:
+        if x.ndim == 2 and "kernel" in name and divides(x.shape[1]):
             return P(None, tp_axis)
-        if x.ndim == 1 and "bias" in name:
+        if x.ndim == 1 and "bias" in name and divides(x.shape[0]):
             return P(tp_axis)
         return P()
     return jax.tree_util.tree_map_with_path(spec, params)

@@ -271,3 +271,31 @@ def test_cross_host_collective_mean():
                    in_specs=P(("host", "dp")), out_specs=P(("host", "dp")))
     out = fn(x)
     np.testing.assert_allclose(np.asarray(out), float(x.mean()), rtol=1e-6)
+
+
+def test_fused_actor_learner_flagship_tp():
+    """Flagship EgoAttentionNetwork with tensor-parallel kernels on a
+    (host, dp, tp) pod mesh: attention/embedding Dense hidden dims shard
+    over tp while the env batch rides (host, dp) — dp x tp on the flagship
+    in ONE fused segment."""
+    from rl_agents_tpu.envs.highway import HighwayEnv
+    from rl_agents_tpu.models import EgoAttentionNetwork
+    from rl_agents_tpu.parallel.actor_learner import make_sharded_actor_learner
+
+    mesh = make_pod_mesh(axes=("host", "dp", "tp"), hosts=2, local_shape=(2, 2))
+    env = HighwayEnv(vehicles=6, lanes=3, max_episode_steps=20)
+    model = EgoAttentionNetwork(out=5, embedding_layers=(16,),
+                                others_embedding_layers=(16,),
+                                output_layers=(16,), feature_size=16, heads=2)
+    init_fn, segment_fn, _ = make_sharded_actor_learner(
+        env, model, optax.adam(5e-4), mesh, num_shards=4, envs_per_shard=2,
+        capacity=64, batch_size=4, learning_starts=8, tp=True)
+    state = init_fn(jax.random.PRNGKey(11))
+    # at least one 2-D kernel actually sharded over tp
+    specs = [leaf.sharding.spec for leaf in jax.tree.leaves(state.params)
+             if getattr(leaf, "ndim", 0) == 2]
+    assert any("tp" in str(s) for s in specs), specs
+    state, mean_reward = segment_fn(state, steps=8)
+    assert np.isfinite(float(mean_reward))
+    for leaf in jax.tree.leaves(state.params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
