@@ -257,7 +257,8 @@ class DQNAgent(AbstractStochasticAgent):
             target_update=int(self.config["target_update"]),
             eps_init=float(expl.get("temperature", 1.0)),
             eps_final=float(expl.get("final_temperature", 0.1)),
-            eps_tau=float(expl.get("tau", 5000)))
+            eps_tau=float(expl.get("tau", 5000)),
+            n_steps=int(self.config.get("n_steps", 1)))
         self.key, sub = jax.random.split(self.key)
         state = init_fn(sub)
         done_steps = 0

@@ -41,20 +41,24 @@ def _sample(data: Batch, key, size, batch_size: int) -> Batch:
     return jax.tree.map(lambda x: x[idx], data)
 
 
-@partial(jax.jit, static_argnames=("batch_size", "n_steps"))
-def _sample_n_step(data: Batch, key, size, batch_size: int, n_steps: int, gamma) -> Batch:
-    """Sample start indices and collapse n consecutive transitions into
-    <s0, a0, sum(gamma^i r_i), s_n, done_n>, stopping at terminals
-    (reference: memory.py:58-77)."""
-    start = jax.random.randint(key, (batch_size,), 0, size)
-    offsets = jnp.arange(n_steps)
+def n_step_collapse(data: Batch, start, size, n_steps: int, gamma,
+                    stride: int = 1) -> Batch:
+    """Collapse n consecutive same-trajectory transitions starting at each
+    ``start`` index into <s0, a0, sum(gamma^i r_i), s_n, done_n>, stopping
+    at terminals (reference: memory.py:58-77). ``stride`` is the ring
+    distance between consecutive same-env transitions: 1 for the object-path
+    replay, ``num_envs`` for the fused actor-learner's interleaved ring
+    (step t of env e lands at position t*E + e, so step t+1 sits exactly E
+    rows later). Traceable — usable inside larger jitted programs."""
+    batch_size = start.shape[0]
+    offsets = jnp.arange(n_steps) * stride
     idx = jnp.minimum(start[:, None] + offsets[None, :], size - 1)  # [B, n]
     rewards = data.reward[idx]
     terminals = data.terminal[idx]
     # alive[b, i]: transition i contributes (no terminal strictly before it)
     prior_terminal = jnp.cumsum(jnp.pad(terminals[:, :-1], ((0, 0), (1, 0))), axis=1) > 0
     alive = ~prior_terminal
-    discounts = gamma ** offsets.astype(jnp.float32)
+    discounts = gamma ** jnp.arange(n_steps, dtype=jnp.float32)
     cum_reward = jnp.sum(rewards * discounts[None, :] * alive, axis=1)
     # last contributing index per row
     last = jnp.maximum(jnp.sum(alive, axis=1) - 1, 0)
@@ -66,6 +70,13 @@ def _sample_n_step(data: Batch, key, size, batch_size: int, n_steps: int, gamma)
         next_state=data.next_state[last_idx],
         terminal=data.terminal[last_idx],
     )
+
+
+@partial(jax.jit, static_argnames=("batch_size", "n_steps"))
+def _sample_n_step(data: Batch, key, size, batch_size: int, n_steps: int, gamma) -> Batch:
+    """Sample start indices and collapse (reference: memory.py:58-77)."""
+    start = jax.random.randint(key, (batch_size,), 0, size)
+    return n_step_collapse(data, start, size, n_steps, gamma)
 
 
 class ReplayMemory:

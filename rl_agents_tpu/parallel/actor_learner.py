@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from rl_agents_tpu.agents.dqn.replay import Batch
+from rl_agents_tpu.agents.dqn.replay import Batch, n_step_collapse
 from rl_agents_tpu.envs.base import FunctionalEnv
 
 
@@ -43,8 +43,11 @@ def make_actor_learner(env: FunctionalEnv, model, optimizer,
                        batch_size: int = 100, gamma: float = 0.99,
                        double: bool = True, target_update: int = 1,
                        eps_init: float = 1.0, eps_final: float = 0.1,
-                       eps_tau: float = 5000.0, learning_starts: int = 200):
-    """Build (init_fn, segment_fn) where segment_fn runs K fused steps."""
+                       eps_tau: float = 5000.0, learning_starts: int = 200,
+                       n_steps: int = 1):
+    """Build (init_fn, segment_fn) where segment_fn runs K fused steps.
+    ``n_steps > 1`` collapses n consecutive same-env transitions per sample
+    (stride-E in the interleaved ring; reference: memory.py:58-77)."""
     E = num_envs
     obs_shape = env.observation_space.shape
 
@@ -135,7 +138,11 @@ def make_actor_learner(env: FunctionalEnv, model, optimizer,
         # ---- learner update ------------------------------------------
         key, km = jax.random.split(key)
         sample_idx = jax.random.randint(km, (batch_size,), 0, jnp.maximum(size, 1))
-        minibatch = jax.tree.map(lambda x: x[sample_idx], buffer)
+        if n_steps == 1:
+            minibatch = jax.tree.map(lambda x: x[sample_idx], buffer)
+        else:
+            minibatch = n_step_collapse(buffer, sample_idx, jnp.maximum(size, 1),
+                                        n_steps, jnp.float32(gamma), stride=E)
 
         def do_update(args):
             params, opt_state = args
@@ -200,7 +207,8 @@ def make_sharded_actor_learner(env: FunctionalEnv, model, optimizer, mesh,
                                gamma: float = 0.99, double: bool = True,
                                target_update: int = 1, eps_init: float = 1.0,
                                eps_final: float = 0.1, eps_tau: float = 5000.0,
-                               learning_starts: int = 32, tp: bool = False):
+                               learning_starts: int = 32, tp: bool = False,
+                               n_steps: int = 1):
     """Fused actor-learner sharded over a pod mesh's data axes.
 
     This is the end-to-end TPU replacement for the reference's
@@ -357,8 +365,14 @@ def make_sharded_actor_learner(env: FunctionalEnv, model, optimizer, mesh,
         # ---- learner update: shard-local sampling, global grad mean --
         sample_idx = jax.vmap(
             lambda k: jax.random.randint(k, (B,), 0, jnp.maximum(size, 1)))(km)
-        minibatch = jax.tree.map(
-            lambda x: jax.vmap(lambda xs, ids: xs[ids])(x, sample_idx), buffer)
+        if n_steps == 1:
+            minibatch = jax.tree.map(
+                lambda x: jax.vmap(lambda xs, ids: xs[ids])(x, sample_idx), buffer)
+        else:
+            minibatch = jax.vmap(
+                lambda buf, ids: n_step_collapse(buf, ids, jnp.maximum(size, 1),
+                                                 n_steps, jnp.float32(gamma),
+                                                 stride=E))(buffer, sample_idx)
         flat = jax.tree.map(lambda x: x.reshape((S * B,) + x.shape[2:]), minibatch)
 
         def do_update(args):

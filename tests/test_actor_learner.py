@@ -2,6 +2,8 @@
 import time
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 import optax
 
 from rl_agents_tpu.envs.cartpole import CartPoleEnv
@@ -35,3 +37,64 @@ def test_fused_segment_throughput():
     dt = time.time() - t0
     # 50 steps x 8 envs with per-step SGD in one program: must be fast even on CPU
     assert dt < 5.0
+
+
+def test_fused_n_step_collapse_stride():
+    """n-step in the fused loop: same-env consecutive transitions sit at
+    stride E in the interleaved ring, so the collapsed targets must match a
+    hand-built per-env trajectory collapse (reference: memory.py:58-77)."""
+    import numpy as np
+
+    from rl_agents_tpu.agents.dqn.replay import Batch, n_step_collapse
+
+    E, T, gamma, n = 3, 5, 0.9, 3
+    # build an interleaved ring: position t*E + e holds env e's step t
+    rng = np.random.default_rng(0)
+    rewards = rng.random((T, E)).astype(np.float32)
+    terminals = np.zeros((T, E), bool)
+    terminals[2, 1] = True  # env 1 ends at step 2
+    states = rng.random((T, E, 4)).astype(np.float32)
+    next_states = rng.random((T, E, 4)).astype(np.float32)
+    size = T * E
+    data = Batch(
+        state=jnp.asarray(states.reshape(size, 4)),
+        action=jnp.zeros((size,), jnp.int32),
+        reward=jnp.asarray(rewards.reshape(size)),
+        next_state=jnp.asarray(next_states.reshape(size, 4)),
+        terminal=jnp.asarray(terminals.reshape(size)),
+    )
+    # start at (t=0, env) for every env
+    start = jnp.asarray([0 * E + e for e in range(E)], jnp.int32)
+    out = n_step_collapse(data, start, jnp.int32(size), n, jnp.float32(gamma),
+                          stride=E)
+    for e in range(E):
+        # hand collapse of env e's trajectory from step 0
+        cum, last = 0.0, 0
+        for i in range(n):
+            cum += gamma ** i * rewards[i, e]
+            last = i
+            if terminals[i, e]:
+                break
+        np.testing.assert_allclose(float(out.reward[e]), cum, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.next_state[e]),
+                                   next_states[last, e], rtol=1e-6)
+        assert bool(out.terminal[e]) == bool(terminals[last, e])
+
+
+def test_fused_actor_learner_n_step_trains():
+    import optax
+
+    from rl_agents_tpu.envs.cartpole import CartPoleEnv
+    from rl_agents_tpu.models import MultiLayerPerceptron
+    from rl_agents_tpu.parallel.actor_learner import make_actor_learner
+
+    env = CartPoleEnv(max_episode_steps=100)
+    model = MultiLayerPerceptron(layers=(16, 16), out=2)
+    init_fn, segment_fn = make_actor_learner(
+        env, model, optax.adam(1e-3), num_envs=8, capacity=1024,
+        batch_size=16, learning_starts=64, n_steps=3)
+    state = init_fn(jax.random.PRNGKey(0))
+    state, mean_reward = segment_fn(state, steps=40)
+    assert np.isfinite(float(mean_reward))
+    for leaf in jax.tree.leaves(state.params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
