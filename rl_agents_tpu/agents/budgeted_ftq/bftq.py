@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import logging
 import re
-from functools import partial
 from typing import NamedTuple
 
 import jax

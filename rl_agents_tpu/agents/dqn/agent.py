@@ -15,7 +15,6 @@ flax.serialization (the reference saves torch state_dicts, pytorch.py:82-93).
 from __future__ import annotations
 
 import pickle
-from functools import partial
 from pathlib import Path
 from typing import NamedTuple
 

@@ -27,7 +27,7 @@ from rl_agents_tpu.agents.tree_search.graph_based import GraphBasedPlannerAgent
 from rl_agents_tpu.agents.tree_search.olop import parse_threshold
 from rl_agents_tpu.envs.base import FunctionalEnv
 from rl_agents_tpu.ops.hashing import obs_key, table_init, table_lookup_or_insert
-from rl_agents_tpu.ops.onehot import onehot, select_row, select_row_tree, set_row
+from rl_agents_tpu.ops.onehot import onehot, select_row, set_row
 from rl_agents_tpu.utils.math import kl_upper_bound, max_expectation_under_constraint
 
 

@@ -16,8 +16,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from rl_agents_tpu.agents.tree_search.common import AbstractTreeSearchAgent, allocation
-from rl_agents_tpu.agents.tree_search.mcts import MCTSAgent, _masked_random_argmax, make_prior_fn
+from rl_agents_tpu.agents.tree_search.mcts import MCTSAgent, _masked_random_argmax
 from rl_agents_tpu.envs.base import FunctionalEnv
 from rl_agents_tpu.ops.hashing import obs_key
 from rl_agents_tpu.ops.onehot import onehot, select_row

@@ -11,12 +11,11 @@ host boundary per node.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, NamedTuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
-from rl_agents_tpu.agents.tree_search.common import AbstractTreeSearchAgent, allocation
 from rl_agents_tpu.agents.tree_search.mcts import MCTSAgent, MCTSTree, _masked_random_argmax
 from rl_agents_tpu.envs.base import FunctionalEnv
 from rl_agents_tpu.factory import agent_factory

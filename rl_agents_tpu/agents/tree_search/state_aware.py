@@ -17,7 +17,6 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from rl_agents_tpu.agents.tree_search.common import AbstractTreeSearchAgent
 from rl_agents_tpu.agents.tree_search.deterministic import DeterministicPlannerAgent
 from rl_agents_tpu.envs.base import FunctionalEnv
 from rl_agents_tpu.ops.hashing import obs_key, table_init, table_lookup_or_insert
