@@ -48,6 +48,63 @@ def pareto_frontier(qr, qc, actions, budgets):
     """Top frontier of the (qc, qr) cloud at one state.
 
     qr/qc/actions/budgets: [P] flattened over (budget x action) points.
+
+    Dense hull membership instead of a stack-based monotone chain: under a
+    state-batch vmap the chain's per-lane stack reads/writes inside a
+    while-inside-scan are the TPU pathology (ops/onehot.py; measured 35x
+    on this kernel). A point is on the strict upper hull iff no valid pair
+    covers it — an O(P^3) elementwise reduction XLA fuses without
+    materialising, trivially parallel over states. Equivalence with the
+    chain is tested point-for-point on random clouds
+    (tests/agents/test_bftq.py)."""
+    P = qr.shape[0]
+    # filter points dominated by the max-qr point (first max on ties)
+    max_idx = jnp.argmax(qr)
+    keep = qc <= qc[max_idx]
+
+    # sort by (qc, qr) ascending, invalid pushed to the end
+    sort_key = jnp.where(keep, qc, jnp.inf)
+    order = jnp.lexsort((qr, sort_key))
+    qc_s, qr_s = qc[order], qr[order]
+    valid_s = keep[order]
+
+    # covered[i]: some valid pair (a, b) spans i with i strictly below the
+    # chord, or exactly on it strictly between the endpoints (drops
+    # collinear interiors, like the chain's cross >= 0 pop rule)
+    pair_valid = valid_s[:, None, None] & valid_s[None, :, None]     # [a, b, 1]
+    qc_a, qr_a = qc_s[:, None, None], qr_s[:, None, None]
+    qc_b, qr_b = qc_s[None, :, None], qr_s[None, :, None]
+    qc_i, qr_i = qc_s[None, None, :], qr_s[None, None, :]
+    cross2 = (qc_b - qc_a) * (qr_i - qr_a) - (qr_b - qr_a) * (qc_i - qc_a)
+    spans = (qc_a <= qc_i) & (qc_i <= qc_b)
+    strict = (qc_a < qc_i) & (qc_i < qc_b)
+    covered = jnp.any(pair_valid & ((spans & (cross2 < 0)) | (strict & (cross2 == 0))),
+                      axis=(0, 1))
+    # vertical runs (equal qc): keep only the best-qr point (last in sort order)
+    same_qc = qc_s[:, None] == qc_s[None, :]
+    better = (qr_s[:, None] > qr_s[None, :]) |         ((qr_s[:, None] == qr_s[None, :])
+         & (jnp.arange(P)[:, None] > jnp.arange(P)[None, :]))
+    vert_dominated = jnp.any(same_qc & better & valid_s[:, None], axis=0)
+    on_hull = valid_s & ~covered & ~vert_dominated
+
+    # compact: stable sort pushes non-hull points to the end, preserving the
+    # qc order of hull points (jnp.argsort is stable)
+    rank = jnp.argsort(~on_hull)
+    count = jnp.sum(on_hull)
+    pos = jnp.arange(P)
+    hull_valid = pos < count
+    # pad the tail with the last hull point (one-hot select, no per-lane gather)
+    last_rank = jnp.sum(jnp.where(pos == jnp.maximum(count - 1, 0), rank, 0))
+    src = order[jnp.where(hull_valid, rank, last_rank)]
+    return Frontier(
+        qc=qc[src], qr=qr[src], action=actions[src], budget=budgets[src],
+        valid=hull_valid, count=count)
+
+
+def _pareto_frontier_chain(qr, qc, actions, budgets):
+    """Top frontier of the (qc, qr) cloud at one state.
+
+    qr/qc/actions/budgets: [P] flattened over (budget x action) points.
     """
     P = qr.shape[0]
     # filter points dominated by the max-qr point (first max on ties)

@@ -180,3 +180,31 @@ def test_bftq_on_intersection():
     agent.update()
     agent.eval()
     assert agent.act(state) in range(3)
+
+
+@pytest.mark.parametrize("trial", range(5))
+def test_dense_hull_matches_monotone_chain(trial):
+    """The dense O(P^3) hull membership must reproduce the stack-based
+    monotone chain point-for-point on random clouds (the chain is the
+    semantics oracle; the dense form is the TPU-fast path)."""
+    from rl_agents_tpu.agents.budgeted_ftq.greedy_policy import (
+        _pareto_frontier_chain,
+    )
+
+    rng = np.random.default_rng(100 + trial)
+    P = 40
+    qr = jnp.asarray(rng.random(P), jnp.float32)
+    qc = jnp.asarray(rng.random(P), jnp.float32)
+    actions = jnp.asarray(rng.integers(0, 4, P), jnp.int32)
+    budgets = jnp.asarray(rng.random(P), jnp.float32)
+
+    dense = pareto_frontier(qr, qc, actions, budgets)
+    chain = _pareto_frontier_chain(qr, qc, actions, budgets)
+    nd, nc = int(dense.count), int(chain.count)
+    assert nd == nc, (nd, nc)
+    np.testing.assert_allclose(np.asarray(dense.qc[:nd]), np.asarray(chain.qc[:nc]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dense.qr[:nd]), np.asarray(chain.qr[:nc]),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(dense.action[:nd]),
+                                  np.asarray(chain.action[:nc]))
