@@ -235,7 +235,10 @@ def bench_mcts(env, num_actions):
                                   num_actions, EPISODES, HORIZON, GAMMA, TEMPERATURE)
         return jnp.sum(a).astype(jnp.float32) * 1e-9
 
-    dt, flops, bytes_ = chained_seconds_per_op(step)
+    # post one-hot, a plan-batch is ~1.5 ms — chain enough reps that the
+    # total device time dwarfs tunnel-RTT noise (run-to-run swings of ~40%
+    # were measured at the default chain length)
+    dt, flops, bytes_ = chained_seconds_per_op(step, reps=REPS if _CPU_FALLBACK else 64)
     env_steps = B * EPISODES * HORIZON
     return env_steps / dt, _roofline(flops, bytes_, 1.0 / dt, env_steps)
 
@@ -273,7 +276,7 @@ def bench_opd_highway(expansions=46):
                                  plan_capacity=8)
         return jnp.sum(a).astype(jnp.float32) * 1e-9
 
-    dt, flops, bytes_ = chained_seconds_per_op(step)
+    dt, flops, bytes_ = chained_seconds_per_op(step, reps=REPS if _CPU_FALLBACK else 32)
     n_exp = B * expansions
     return n_exp / dt, _roofline(flops, bytes_, 1.0 / dt, n_exp)
 
