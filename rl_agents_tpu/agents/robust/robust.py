@@ -23,6 +23,7 @@ import numpy as np
 from rl_agents_tpu.agents.base import AbstractAgent
 from rl_agents_tpu.agents.tree_search.common import AbstractTreeSearchAgent
 from rl_agents_tpu.envs.base import FunctionalEnv
+from rl_agents_tpu.ops.onehot import onehot, select_row, select_row_tree
 from rl_agents_tpu.factory import load_agent, preprocess_env
 
 
@@ -76,15 +77,18 @@ def robust_opd_plan(env: FunctionalEnv, params_ensemble, states0, key, num_actio
                        in_axes=(None, None, 0, None))                   # over actions
 
     def expand(tree, leaf_idx):
+        # one-hot arena access (ops/onehot.py): keeps a tree-batch vmap of
+        # this program off the per-lane gather path
         base = tree.used
         child_ids = base + jnp.arange(A, dtype=jnp.int32)
-        leaf_states = jax.tree.map(lambda x: x[leaf_idx], tree.states)  # [M, ...]
+        oh_leaf = onehot(leaf_idx, N)
+        leaf_states = select_row_tree(tree.states, oh_leaf)            # [M, ...]
         outs = step_ma(params_ensemble, leaf_states, jnp.arange(A),
                        jnp.zeros((2,), jnp.uint32))  # [A, M, ...]
-        d = tree.depth[leaf_idx] + 1
+        d = select_row(tree.depth, oh_leaf) + 1
         reward = outs.reward.astype(jnp.float32)                       # [A, M]
-        done = outs.terminated | tree.done[leaf_idx][None]
-        vl = tree.value_lower[leaf_idx][None] + gamma ** (d - 1).astype(jnp.float32) * reward
+        done = outs.terminated | select_row(tree.done, oh_leaf)[None]
+        vl = select_row(tree.value_lower, oh_leaf)[None] + gamma ** (d - 1).astype(jnp.float32) * reward
         vu = vl + gamma ** d.astype(jnp.float32) / (1 - gamma)
         tv = vl + terminal_reward * gamma ** d.astype(jnp.float32) / (1 - gamma)
         vl = jnp.where(done, tv, vl)
@@ -115,13 +119,18 @@ def robust_opd_plan(env: FunctionalEnv, params_ensemble, states0, key, num_actio
 
         def body(c):
             n, vl, vu = c
-            ch = tree.children[n]
+            oh_n = onehot(n, N)
+            ch = select_row(tree.children, oh_n)
             valid = ch >= 0
-            cl = jnp.where(valid, jnp.min(vl[jnp.maximum(ch, 0)], axis=-1), -jnp.inf)
-            cu = jnp.where(valid, jnp.min(vu[jnp.maximum(ch, 0)], axis=-1), -jnp.inf)
-            vl = vl.at[n].set(jnp.max(cl))
-            vu = vu.at[n].set(jnp.max(cu))
-            return tree.parent[n], vl, vu
+            ch_oh = (ch[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :]) \
+                & valid[:, None]                                       # [A, N]
+            child_vl = jnp.sum(jnp.where(ch_oh[:, :, None], vl[None, :, :], 0.0), axis=1)
+            child_vu = jnp.sum(jnp.where(ch_oh[:, :, None], vu[None, :, :], 0.0), axis=1)
+            cl = jnp.where(valid, jnp.min(child_vl, axis=-1), -jnp.inf)
+            cu = jnp.where(valid, jnp.min(child_vu, axis=-1), -jnp.inf)
+            vl = jnp.where(oh_n[:, None], jnp.max(cl), vl)
+            vu = jnp.where(oh_n[:, None], jnp.max(cu), vu)
+            return select_row(tree.parent, oh_n), vl, vu
 
         _, vl, vu = jax.lax.while_loop(cond, body, (node, tree.value_lower, tree.value_upper))
         return tree._replace(value_lower=vl, value_upper=vu)
@@ -136,14 +145,20 @@ def robust_opd_plan(env: FunctionalEnv, params_ensemble, states0, key, num_actio
 
     def plan_body(carry, _):
         node, k, live = carry
-        ch = tree.children[node]
+        oh = onehot(node, N)
+        ch = select_row(tree.children, oh)
         valid = ch >= 0
-        vals = jnp.where(valid, jnp.min(tree.value_lower[jnp.maximum(ch, 0)], axis=-1), -jnp.inf)
+        ch_oh = (ch[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :]) \
+            & valid[:, None]
+        child_vl = jnp.sum(jnp.where(ch_oh[:, :, None], tree.value_lower[None, :, :], 0.0),
+                           axis=1)
+        vals = jnp.where(valid, jnp.min(child_vl, axis=-1), -jnp.inf)
         ties = valid & (vals == jnp.max(vals))
         k, sub = jax.random.split(k)
         action = jax.random.categorical(sub, jnp.where(ties, 0.0, -jnp.inf))
+        child = jnp.sum(jnp.where(jnp.arange(A) == action, ch, 0))
         emit = live & jnp.any(valid)
-        return (jnp.where(emit, ch[action], node), k, emit), jnp.where(emit, action, -1)
+        return (jnp.where(emit, child, node), k, emit), jnp.where(emit, action, -1)
 
     (_, _, _), actions = jax.lax.scan(
         plan_body, (jnp.zeros((), jnp.int32), key, jnp.asarray(True)), None,
