@@ -150,7 +150,7 @@ def test_sparse_sampling_action_distribution_stochastic():
     _bootstrap_reference()
     from rl_agents.agents.tree_search.sparse_sampling import SparseSampling
 
-    H, C, SEEDS = 3, 1, 100
+    H, C, SEEDS = 3, 1, 200
     env = make_mdp(dict(STOCH_CONFIG, max_episode_steps=1000))
     env.reset(seed=0)
 
