@@ -96,7 +96,16 @@ def load_json_config(path: str | Path) -> Dict:
     if "base_config" in config:
         base_path = Path(config["base_config"])
         if not base_path.is_absolute():
-            base_path = path.parent / base_path
+            # The reference resolves base_config against the process cwd
+            # (factory.py:51 opens it verbatim; studies run from scripts/).
+            # Resolve cwd-independently: prefer child-relative, then search
+            # the child's ancestors for the relative path (handles the
+            # corpus's "configs/Family/..." spellings), then fall back to cwd.
+            candidates = [path.parent / base_path]
+            candidates += [anc / base_path for anc in path.parents[1:]]
+            candidates.append(base_path)
+            base_path = next((c for c in candidates if c.is_file()),
+                             candidates[0])
         base = load_json_config(base_path)
         del config["base_config"]
         config = rec_update(base, config)

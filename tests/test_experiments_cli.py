@@ -40,12 +40,26 @@ def test_config_corpus_integrity():
     families = [d for d in root.iterdir() if d.is_dir()]
     assert len(families) >= 16  # the reference ships 16 env families
 
+    # Configs the REFERENCE itself ships dangling: ModelBiasAgent does not
+    # exist in its robust_epc.py (only RobustEPCAgent/NominalEPCAgent). Kept
+    # for corpus completeness, excluded from factory resolution. The dead
+    # BaiMCTSAgent/ family (no bai_mcts.py in the reference) is not ported.
+    dead_in_reference = {"ObstacleEnv/agents/model_bias.json"}
+
     n_agents = n_envs = 0
     for path in root.rglob("*.json"):
         with open(path) as f:
             cfg = json.load(f)
         if "benchmark_summary" in path.name or path.parent == root:
             continue
+        if str(path.relative_to(root)) in dead_in_reference:
+            continue
+        if "base_config" in cfg and "id" not in cfg:
+            # sweep/variant configs: the full inheritance chain must merge
+            # and yield a factory-resolvable class (reference factory.py:44-56)
+            from rl_agents_tpu.configuration import load_json_config
+            cfg = load_json_config(path)
+            assert "__class__" in cfg, f"{path}: chain has no __class__"
         if "__class__" in cfg:
             name = cfg["__class__"].split("'")[1].split(".")[-1] \
                 if cfg["__class__"].startswith("<class") else cfg["__class__"]
@@ -57,7 +71,8 @@ def test_config_corpus_integrity():
                 env = load_environment(cfg)
                 env.reset(seed=0)
         # else: benchmark / sweep / logging configs — parse-only
-    assert n_agents >= 30 and n_envs >= 16
+    # full reference corpus ported (235 ref files - 4 dead + repo extras)
+    assert n_agents >= 150 and n_envs >= 50
 
 
 def test_planner_study_regret_csv(tmp_path, monkeypatch):
