@@ -72,10 +72,15 @@ class DQNAgent(AbstractStochasticAgent):
     def __init__(self, env, config=None):
         super().__init__(config)
         self.env = env
-        assert hasattr(env.action_space, "n"), "Only compatible with Discrete action spaces."
+        action_space = env.action_space
+        obs_space = env.observation_space
+        if hasattr(action_space, "spaces"):  # multi-agent: per-ego spaces
+            action_space = action_space.spaces[0]
+            obs_space = obs_space.spaces[0]
+        assert hasattr(action_space, "n"), "Only compatible with Discrete action spaces."
         size_model_config(self.env, self.config["model"])
         self.model = model_factory(self.config["model"])
-        obs_shape = env.observation_space.shape or (1,)
+        obs_shape = obs_space.shape or (1,)
 
         self.key = jax.random.PRNGKey(0)
         self.key, sub = jax.random.split(self.key)

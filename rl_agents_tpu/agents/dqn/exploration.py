@@ -117,6 +117,8 @@ class Boltzmann(DiscreteDistribution):
 
 def exploration_factory(exploration_config: dict, action_space) -> DiscreteDistribution:
     """(reference: exploration/abstract.py:45-63)"""
+    if hasattr(action_space, "spaces"):  # multi-agent tuple: per-ego set
+        action_space = action_space.spaces[0]
     n = action_space.n if hasattr(action_space, "n") else int(action_space)
     method = exploration_config.get("method", "EpsilonGreedy")
     if method == "Greedy":

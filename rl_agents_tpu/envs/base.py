@@ -42,6 +42,20 @@ class Discrete:
 
 
 @dataclasses.dataclass(frozen=True)
+class TupleSpace:
+    """Product space for multi-agent tuple observations/actions
+    (reference: gym spaces.Tuple in MultiAgentObservation configs)."""
+    spaces: Tuple[Any, ...]
+
+    def sample(self, key):
+        keys = jax.random.split(key, len(self.spaces))
+        return tuple(s.sample(k) for s, k in zip(self.spaces, keys))
+
+    def __len__(self):
+        return len(self.spaces)
+
+
+@dataclasses.dataclass(frozen=True)
 class Box:
     low: Any
     high: Any
@@ -202,7 +216,10 @@ class EnvHandle:
     def get_available_actions(self):
         """Discrete action ids at the current state (the reference's planners
         call this on env copies, e.g. mcts_dpw.py:119-126)."""
-        return list(range(self.functional.action_space.n))
+        space = self.functional.action_space
+        if hasattr(space, "spaces"):  # multi-agent: one agent's discrete set
+            space = space.spaces[0]
+        return list(range(space.n))
 
     def seed(self, seed: int | None = None):
         if seed is not None:

@@ -103,7 +103,10 @@ def params_from_config(config: dict) -> tuple[FiniteMDPEnv, MDPParams]:
     reward = np.asarray(config["reward"], dtype=np.float32)
     S, A = reward.shape
     terminal = np.asarray(config.get("terminal", np.zeros(S)), dtype=bool)
-    env = FiniteMDPEnv(S, A, mode=mode, max_episode_steps=config.get("max_episode_steps", 100))
+    # the reference corpus spells the horizon "max_steps"
+    # (scripts/configs/FiniteMDPEnv/**/env*.json)
+    max_steps = config.get("max_episode_steps", config.get("max_steps", 100))
+    env = FiniteMDPEnv(S, A, mode=mode, max_episode_steps=max_steps)
     if mode == "deterministic":
         transition = transition.astype(np.int32)
         nxt = np.zeros((), np.int32)

@@ -66,6 +66,16 @@ ENV_REGISTRY: Dict[str, str] = {
     "linear-system": "rl_agents_tpu.envs.linear:make",
     "highway": "rl_agents_tpu.envs.highway:make",
     "intersection": "rl_agents_tpu.envs.highway:make_intersection",
+    # reference corpus ids, mapped onto the functional surrogates so the
+    # ported configs run without the bridge packages (finite_mdp/highway_env):
+    "finite-mdp-v0": "rl_agents_tpu.envs.finite_mdp:make",
+    "highway-v0": "rl_agents_tpu.envs.highway:make",
+    "exit-v0": "rl_agents_tpu.envs.highway:make",
+    "merge-v0": "rl_agents_tpu.envs.highway:make",
+    "intersection-v0": "rl_agents_tpu.envs.highway:make_intersection",
+    "intersection-multi-agent-v0": "rl_agents_tpu.envs.highway:make_intersection",
+    "roundabout-v0": "rl_agents_tpu.envs.highway:make_intersection",
+    "two-way-v0": "rl_agents_tpu.envs.highway:make_twoway",
 }
 
 

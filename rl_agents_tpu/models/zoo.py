@@ -266,6 +266,8 @@ def trainable_parameters(params) -> int:
 def size_model_config(env, model_config: dict):
     """Fill in/out sizes from env spaces (reference: models.py:404-428)."""
     obs_space = env.observation_space
+    if hasattr(obs_space, "spaces"):  # multi-agent tuple: size from one agent's view
+        obs_space = obs_space.spaces[0]
     if isinstance(obs_space, (Box,)) or hasattr(obs_space, "shape"):
         obs_shape = obs_space.shape
     else:
@@ -277,6 +279,8 @@ def size_model_config(env, model_config: dict):
     else:
         model_config.setdefault("in", int(np.prod(obs_shape)))
     action_space = env.action_space
+    if hasattr(action_space, "spaces"):  # multi-agent: one agent's action set
+        action_space = action_space.spaces[0]
     if isinstance(action_space, Discrete) or hasattr(action_space, "n"):
         model_config.setdefault("out", int(action_space.n))
 
