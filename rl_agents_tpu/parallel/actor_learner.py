@@ -44,10 +44,13 @@ def make_actor_learner(env: FunctionalEnv, model, optimizer,
                        double: bool = True, target_update: int = 1,
                        eps_init: float = 1.0, eps_final: float = 0.1,
                        eps_tau: float = 5000.0, learning_starts: int = 200,
-                       n_steps: int = 1):
+                       n_steps: int = 1, updates_per_step: int = 1):
     """Build (init_fn, segment_fn) where segment_fn runs K fused steps.
     ``n_steps > 1`` collapses n consecutive same-env transitions per sample
-    (stride-E in the interleaved ring; reference: memory.py:58-77)."""
+    (stride-E in the interleaved ring; reference: memory.py:58-77).
+    ``updates_per_step > 1`` runs that many SGD updates (fresh minibatch
+    each) per collected env-step batch — the throughput-optimal regime that
+    keeps the MXU fed when the env batch is large."""
     E = num_envs
     obs_shape = env.observation_space.shape
 
@@ -135,21 +138,33 @@ def make_actor_learner(env: FunctionalEnv, model, optimizer,
         position = (state.position + E) % capacity
         size = jnp.minimum(state.size + E, capacity)
 
-        # ---- learner update ------------------------------------------
+        # ---- learner update(s) ---------------------------------------
         key, km = jax.random.split(key)
-        sample_idx = jax.random.randint(km, (batch_size,), 0, jnp.maximum(size, 1))
-        if n_steps == 1:
-            minibatch = jax.tree.map(lambda x: x[sample_idx], buffer)
-        else:
-            minibatch = n_step_collapse(buffer, sample_idx, jnp.maximum(size, 1),
-                                        n_steps, jnp.float32(gamma), stride=E)
 
-        def do_update(args):
+        def sample_and_update(args, ku):
             params, opt_state = args
+            sample_idx = jax.random.randint(ku, (batch_size,), 0,
+                                            jnp.maximum(size, 1))
+            if n_steps == 1:
+                minibatch = jax.tree.map(lambda x: x[sample_idx], buffer)
+            else:
+                minibatch = n_step_collapse(buffer, sample_idx,
+                                            jnp.maximum(size, 1),
+                                            n_steps, jnp.float32(gamma), stride=E)
             grads = jax.grad(loss_fn)(params, state.target_params, minibatch)
             grads = jax.tree.map(lambda g: jnp.clip(g, -1.0, 1.0), grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state
+
+        if updates_per_step == 1:
+            def do_update(args):
+                return sample_and_update(args, km)
+        else:
+            def do_update(args):
+                out, _ = jax.lax.scan(
+                    lambda a, ku: (sample_and_update(a, ku), None),
+                    args, jax.random.split(km, updates_per_step))
+                return out
 
         can_train = size >= jnp.maximum(batch_size, learning_starts)
         params, opt_state = jax.lax.cond(

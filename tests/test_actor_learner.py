@@ -39,6 +39,34 @@ def test_fused_segment_throughput():
     assert dt < 5.0
 
 
+def test_fused_updates_per_step():
+    """``updates_per_step=U`` runs U distinct SGD updates per collected
+    env-step batch (the throughput-optimal regime): with identical init and
+    data stream, U=4 must move the params strictly further than U=1 after
+    the learning threshold is crossed."""
+    env = CartPoleEnv(max_episode_steps=200)
+    model = MultiLayerPerceptron(layers=(16, 16), out=2)
+
+    def run(updates_per_step):
+        init_fn, segment_fn = make_actor_learner(
+            env, model, optax.sgd(1e-2), num_envs=8, capacity=512,
+            batch_size=16, learning_starts=16, updates_per_step=updates_per_step)
+        state = init_fn(jax.random.PRNGKey(3))
+        p0 = jax.tree.map(jnp.copy, state.params)
+        state, _ = segment_fn(state, steps=20)
+        delta = sum(float(jnp.sum(jnp.abs(a - b)))
+                    for a, b in zip(jax.tree.leaves(state.params),
+                                    jax.tree.leaves(p0)))
+        return delta, state
+
+    d1, s1 = run(1)
+    d4, s4 = run(4)
+    assert d1 > 0 and d4 > d1, (d1, d4)
+    assert int(s4.time) == 20
+    for leaf in jax.tree.leaves(s4.params):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
 def test_fused_n_step_collapse_stride():
     """n-step in the fused loop: same-env consecutive transitions sit at
     stride E in the interleaved ring, so the collapsed targets must match a
