@@ -28,10 +28,21 @@ is a lower bound on utilization.
 Extra metrics reported in the same JSON line:
   - mcts_highway_steps_per_sec: 4096-tree MCTS on the functional highway env
   - opd_expansions_per_sec: 4096-tree OPD expansions/s (highway)
+  - gbop_highway_expansions_per_sec: 4096-tree GBOP-D (obs-hash aggregation)
   - dqn_env_steps_per_sec: fused actor-learner (128 envs, one SGD update per
     env-step batch, matching the reference's target_update=1 recipe)
   - dqn_ego_attention_env_steps_per_sec: the flagship EgoAttentionNetwork
-    fused learner on highway — the matmul-heavy, MFU-meaningful workload
+    fused learner at the reference RL recipe (latency-bound by design)
+  - ego_attention_train_sgd_samples_per_sec: the same learner in
+    THROUGHPUT mode (bf16, batch 4096 x 8 SGD updates per env batch) with
+    MFU vs the bf16 peak
+  - trailblazer_batched_plans_per_sec: 512 lockstep host-orchestrated
+    TrailBlazer instances at a fixed oracle budget (dispatches/plan +
+    amortization vs a lone instance)
+  - ego_attention_serving_fwd_per_sec: serving-batch bf16 forward (pure MXU)
+``extra_vs_baseline`` carries measured reference denominators (python OPD
+on gymnasium CartPole; torch DQN on CartPole) for the OPD and fused-DQN
+extras.
 
 A successful device run persists its JSON to ``BENCH_last_device.json``;
 when the accelerator tunnel is dead the CPU-fallback line attaches that
@@ -383,27 +394,56 @@ def bench_ego_attention_train(num_envs=None, steps=None, batch_size=None,
     from rl_agents_tpu.envs.highway import HighwayEnv
     from rl_agents_tpu.models import EgoAttentionNetwork
 
+    import optax
+
     num_envs = num_envs or (64 if _CPU_FALLBACK else 1024)
     steps = steps or (4 if _CPU_FALLBACK else 24)
-    batch_size = batch_size or (128 if _CPU_FALLBACK else 4096)
+    batch_size = batch_size or (128 if _CPU_FALLBACK else 8192)
+    env = HighwayEnv(vehicles=15, lanes=4, max_episode_steps=40)
     model = EgoAttentionNetwork(out=5, embedding_layers=(64, 64),
                                 others_embedding_layers=(64, 64),
                                 output_layers=(64,), feature_size=64, heads=4,
                                 dtype=jnp.bfloat16)
-    env_steps_rate, roof = _bench_fused(
-        HighwayEnv(vehicles=15, lanes=4, max_episode_steps=40),
-        model, num_envs, steps, capacity=65_536, batch_size=batch_size,
+    env_steps_rate, _ = _bench_fused(
+        env, model, num_envs, steps, capacity=65_536, batch_size=batch_size,
         learning_starts=batch_size, updates_per_step=updates_per_step)
-    # re-denominate: the training number is SGD samples/s, not env-steps/s
+    # the training number is SGD samples/s, not env-steps/s
     sgd_samples_rate = env_steps_rate / num_envs * batch_size * updates_per_step
-    if roof:
-        scale = num_envs / (batch_size * updates_per_step)
-        roof = dict(roof,
-                    flops_per_unit=round(roof["flops_per_unit"] * scale, 1),
-                    hbm_bytes_per_unit=round(roof["hbm_bytes_per_unit"] * scale, 1),
-                    sgd_batch=batch_size, updates_per_step=updates_per_step,
-                    env_batch=num_envs,
-                    env_steps_per_sec=round(env_steps_rate))
+
+    # FLOPs for MFU from a standalone compiled double-DQN update: XLA's cost
+    # analysis under-counts through the fused loop's lax.cond train gate
+    # (measured 175x low), so count the cond-free update program instead
+    from rl_agents_tpu.ops.onehot import select_action_values
+
+    obs_shape = env.observation_space.shape
+    x = jnp.zeros((batch_size,) + tuple(obs_shape), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x[:1])
+    acts = jnp.zeros((batch_size,), jnp.int32)
+
+    def loss(p, s, a, r, ns):
+        q_sa = select_action_values(model.apply(p, s), a)
+        best = jnp.argmax(model.apply(p, ns), axis=1)
+        bv = select_action_values(model.apply(p, ns), best)
+        return jnp.mean((q_sa - jax.lax.stop_gradient(r + 0.99 * bv)) ** 2)
+
+    opt = optax.adam(5e-4)
+
+    def update(p, o, s, a, r, ns):
+        g = jax.grad(loss)(p, s, a, r, ns)
+        u, o = opt.update(g, o, p)
+        return optax.apply_updates(p, u), o
+
+    compiled = jax.jit(update).lower(params, opt.init(params), x, acts,
+                                     jnp.zeros((batch_size,)), x).compile()
+    flops_update, bytes_update = _cost(compiled)
+    roof = None
+    if flops_update is not None:
+        updates_per_sec = sgd_samples_rate / batch_size
+        roof = _roofline(flops_update, bytes_update, updates_per_sec,
+                         batch_size, mfu=True)
+        roof.update(sgd_batch=batch_size, updates_per_step=updates_per_step,
+                    env_batch=num_envs, env_steps_per_sec=round(env_steps_rate),
+                    flop_count="standalone cond-free update executable")
     return sgd_samples_rate, roof
 
 

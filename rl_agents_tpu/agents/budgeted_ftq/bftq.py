@@ -111,9 +111,11 @@ class BudgetedFittedQ:
             return target_r, target_c
 
         def compute_loss(params, sb, actions, target_r, target_c):
+            from rl_agents_tpu.ops.onehot import select_action_values
+
             values = apply_fn(params, sb)
-            qr = jnp.take_along_axis(values, actions[:, None], axis=1)[:, 0]
-            qc = jnp.take_along_axis(values, actions[:, None] + n_actions, axis=1)[:, 0]
+            qr = select_action_values(values[:, :n_actions], actions)
+            qc = select_action_values(values[:, n_actions:], actions)
             return w_r * loss_r(qr, target_r) + w_c * loss_c(qc, target_c)
 
         def make_fit(optimizer, regression_epochs):

@@ -25,6 +25,7 @@ import optax
 from flax import serialization
 
 from rl_agents_tpu.agents.base import AbstractStochasticAgent
+from rl_agents_tpu.ops.onehot import select_action_values
 from rl_agents_tpu.agents.dqn.exploration import exploration_factory
 from rl_agents_tpu.agents.dqn.replay import Batch, ReplayMemory
 from rl_agents_tpu.models.optimizers import loss_function_factory, optimizer_factory
@@ -42,12 +43,12 @@ def make_train_step(model, optimizer, loss_fn, gamma: float, double: bool):
 
     def bellman_residual(params, target_params, batch: Batch, target_value=None):
         q = model.apply(params, batch.state)
-        q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=1)[:, 0]
+        q_sa = select_action_values(q, batch.action)
         if target_value is None:
             if double:
                 best_actions = jnp.argmax(model.apply(params, batch.next_state), axis=1)
                 q_next = model.apply(target_params, batch.next_state)
-                best_values = jnp.take_along_axis(q_next, best_actions[:, None], axis=1)[:, 0]
+                best_values = select_action_values(q_next, best_actions)
             else:
                 best_values = jnp.max(model.apply(target_params, batch.next_state), axis=1)
             next_values = jnp.where(batch.terminal, 0.0, best_values)

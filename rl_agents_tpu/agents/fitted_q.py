@@ -24,6 +24,7 @@ import optax
 
 from rl_agents_tpu.agents.dqn.agent import DQNAgent, TrainState
 from rl_agents_tpu.agents.dqn.replay import Batch
+from rl_agents_tpu.ops.onehot import select_action_values
 
 logger = logging.getLogger(__name__)
 
@@ -34,11 +35,11 @@ def make_ftq_epoch(model, optimizer, gamma: float, double: bool,
 
     def loss_fn(params, target_params, batch: Batch):
         q = model.apply(params, batch.state)
-        q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=1)[:, 0]
+        q_sa = select_action_values(q, batch.action)
         if double:
             best = jnp.argmax(model.apply(params, batch.next_state), axis=1)
             q_next = model.apply(target_params, batch.next_state)
-            best_values = jnp.take_along_axis(q_next, best[:, None], axis=1)[:, 0]
+            best_values = select_action_values(q_next, best)
         else:
             best_values = jnp.max(model.apply(target_params, batch.next_state), axis=1)
         target = batch.reward + gamma * jnp.where(batch.terminal, 0.0, best_values)

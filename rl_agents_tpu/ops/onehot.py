@@ -83,3 +83,14 @@ def set_row(arr, mask, value):
     """arr [N, ...] with arr[idx] <- value, as a dense masked blend."""
     value = jnp.asarray(value, arr.dtype)
     return jnp.where(_expand_mask(mask, arr), value, arr)
+
+
+def select_action_values(q, actions):
+    """Per-row Q-value select ``q[i, actions[i]]`` as a one-hot masked sum.
+
+    ``jnp.take_along_axis(q, a[:, None], 1)`` is a per-lane gather — measured
+    at 70% of a whole bf16 EgoAttention DQN update on the v5e (2.08 ms ->
+    0.65 ms at batch 4096 after this substitution; docs/onehot.md). Exact:
+    one term of the sum is hot per row."""
+    A = q.shape[-1]
+    return jnp.sum(q * (actions[..., None] == jnp.arange(A)), axis=-1)

@@ -20,6 +20,7 @@ import optax
 
 from rl_agents_tpu.agents.dqn.replay import Batch, n_step_collapse
 from rl_agents_tpu.envs.base import FunctionalEnv
+from rl_agents_tpu.ops.onehot import select_action_values
 
 
 class ActorLearnerState(NamedTuple):
@@ -80,11 +81,11 @@ def make_actor_learner(env: FunctionalEnv, model, optimizer,
 
     def loss_fn(params, target_params, batch: Batch):
         q = model.apply(params, batch.state)
-        q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=1)[:, 0]
+        q_sa = select_action_values(q, batch.action)
         if double:
             best = jnp.argmax(model.apply(params, batch.next_state), axis=1)
             q_next = model.apply(target_params, batch.next_state)
-            best_values = jnp.take_along_axis(q_next, best[:, None], axis=1)[:, 0]
+            best_values = select_action_values(q_next, best)
         else:
             best_values = jnp.max(model.apply(target_params, batch.next_state), axis=1)
         target = batch.reward + gamma * jnp.where(batch.terminal, 0.0, best_values)
@@ -311,11 +312,11 @@ def make_sharded_actor_learner(env: FunctionalEnv, model, optimizer, mesh,
 
     def loss_fn(params, target_params, batch: Batch):
         q = model.apply(params, batch.state)
-        q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=1)[:, 0]
+        q_sa = select_action_values(q, batch.action)
         if double:
             best = jnp.argmax(model.apply(params, batch.next_state), axis=1)
             q_next = model.apply(target_params, batch.next_state)
-            best_values = jnp.take_along_axis(q_next, best[:, None], axis=1)[:, 0]
+            best_values = select_action_values(q_next, best)
         else:
             best_values = jnp.max(model.apply(target_params, batch.next_state), axis=1)
         target = batch.reward + gamma * jnp.where(batch.terminal, 0.0, best_values)

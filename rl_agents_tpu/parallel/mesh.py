@@ -18,9 +18,12 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+
 import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rl_agents_tpu.ops.onehot import select_action_values
 
 
 def make_mesh(n_devices: Optional[int] = None, axes: Sequence[str] = ("dp", "tp"),
@@ -81,11 +84,11 @@ def make_sharded_train_step(mesh: Mesh, model, optimizer, gamma: float,
 
     def loss_fn(params, target_params, batch):
         q = model.apply(params, batch.state)
-        q_sa = jnp.take_along_axis(q, batch.action[:, None], axis=1)[:, 0]
+        q_sa = select_action_values(q, batch.action)
         if double:
             best = jnp.argmax(model.apply(params, batch.next_state), axis=1)
             q_next = model.apply(target_params, batch.next_state)
-            best_values = jnp.take_along_axis(q_next, best[:, None], axis=1)[:, 0]
+            best_values = select_action_values(q_next, best)
         else:
             best_values = jnp.max(model.apply(target_params, batch.next_state), axis=1)
         target = batch.reward + gamma * jnp.where(batch.terminal, 0.0, best_values)
