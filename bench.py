@@ -557,7 +557,8 @@ def bench_reference_opd_cartpole(trials=3, budget=230):
     env = gym.make("CartPole-v1")
     env.reset(seed=0)
     planner = OptimisticDeterministicPlanner(
-        env, {"budget": budget, "gamma": GAMMA, "step_strategy": "reset"})
+        env, {"budget": budget, "gamma": GAMMA, "step_strategy": "reset",
+              "terminal_reward": 0})
     planner.seed(0)
     planner.reset()
     planner.plan(state=env, observation=None)  # warm-up

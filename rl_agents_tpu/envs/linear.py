@@ -146,3 +146,57 @@ def make(config: dict | None = None) -> EnvHandle:
     if "omega_bound" in config:
         params = params._replace(omega_bound=jnp.float32(config["omega_bound"]))
     return EnvHandle(env, params, config)
+
+
+class LaneKeepingEnv(LinearSystemEnv):
+    """Lateral lane-keeping surrogate (highway-env lane-keeping-v0;
+    reference: scripts/configs/LaneKeepingEnv/env.json): 4-state lateral
+    bicycle dynamics x = [y, psi, vy, r] under CONTINUOUS steering — the
+    substrate of the LinearFeedback / ConstrainedEPC study. Controls pass
+    through unclipped-to-bang-bang (``discrete: false`` feedback agents emit
+    raw u); reward penalizes lateral deviation."""
+
+    @property
+    def action_space(self):
+        return Box(-1.0, 1.0, (self.q,))
+
+    def action_to_control(self, action):
+        return jnp.clip(jnp.ravel(jnp.atleast_1d(action)).astype(jnp.float32)[:self.q],
+                        -1.0, 1.0)
+
+    def default_params(self) -> LinearParams:
+        # constant-speed (v=10 m/s) linearized lateral dynamics with an
+        # uncertain cornering-stiffness scale theta on the velocity states
+        p, q = self.p, self.q
+        v = 10.0
+        # y' = v psi + vy (heading error drifts the car laterally);
+        # psi' = r; vy/r rows from the linearized tire forces
+        A = jnp.array([[0.0, v, 1.0, 0.0],
+                       [0.0, 0.0, 0.0, 1.0],
+                       [0.0, 0.0, -4.0, -v],
+                       [0.0, 0.0, -1.0, -3.0]])
+        phi = jnp.array([[[0.0, 0.0, 0.0, 0.0],
+                          [0.0, 0.0, 0.0, 0.0],
+                          [0.0, 0.0, -1.0, 0.0],
+                          [0.0, 0.0, 0.0, -1.0]]])
+        B = jnp.array([[0.0], [0.0], [8.0], [4.0]])
+        D = jnp.array([[0.0], [0.0], [1.0], [1.0]])
+        return LinearParams(
+            A=A, B=B, D=D, phi=phi, theta=jnp.array([0.5]),
+            omega_bound=jnp.float32(0.0), dt=jnp.float32(0.05),
+            lpv_a0=jnp.zeros((p, p)), lpv_da=jnp.zeros((self.n_vertices, p, p)),
+            lpv_k=jnp.zeros((q, p)), omega_lo=jnp.zeros(1), omega_hi=jnp.zeros(1))
+
+    def reset(self, params, key):
+        x0 = jnp.zeros(self.p).at[0].set(0.5)  # 0.5 m lateral offset
+        state = LinearState(x=x0, dx=jnp.zeros(self.p), x_lo=x0, x_hi=x0,
+                            t=jnp.zeros((), jnp.int32))
+        return state, self.observe(params, state)
+
+
+def make_lane_keeping(config: dict | None = None) -> EnvHandle:
+    config = dict(config or {})
+    env = LaneKeepingEnv(p=4, q=1,
+                         max_episode_steps=config.get("max_episode_steps", 200),
+                         x_limit=config.get("x_limit", 4.0))
+    return EnvHandle(env, env.default_params(), config)

@@ -76,6 +76,16 @@ ENV_REGISTRY: Dict[str, str] = {
     "intersection-multi-agent-v0": "rl_agents_tpu.envs.highway:make_intersection",
     "roundabout-v0": "rl_agents_tpu.envs.highway:make_intersection",
     "two-way-v0": "rl_agents_tpu.envs.highway:make_twoway",
+    "MiniGrid-Empty-16x16-v0": "rl_agents_tpu.envs.minigrid:make",
+    "MiniGrid-Collect-9x9-v0": "rl_agents_tpu.envs.minigrid:make",
+    "MiniGrid-Collect-Stochastic-9x9-v0": "rl_agents_tpu.envs.minigrid:make",
+    "sailing-v0": "rl_agents_tpu.envs.sailing:make",
+    "sailing-5-v0": "rl_agents_tpu.envs.sailing:make",
+    "sailing-10-v0": "rl_agents_tpu.envs.sailing:make",
+    "sailing-20-v0": "rl_agents_tpu.envs.sailing:make",
+    "parking-v0": "rl_agents_tpu.envs.parking:make",
+    "parking-ActionRepeat-v0": "rl_agents_tpu.envs.parking:make",
+    "lane-keeping-v0": "rl_agents_tpu.envs.linear:make_lane_keeping",
 }
 
 
@@ -133,7 +143,9 @@ def load_environment(env_config: Dict | str | Path):
     env_id = env_config.get("id")
     if env_id in ENV_REGISTRY:
         make = _resolve(ENV_REGISTRY[env_id])
-        return make(env_config.get("config", {k: v for k, v in env_config.items() if k != "id"}))
+        if "config" in env_config:
+            return make(dict(env_config["config"], id=env_id))
+        return make(dict(env_config))  # id included: makes parse task/size ids
     # Host gymnasium bridge
     from rl_agents_tpu.envs.bridge import make_gym_env
 

@@ -1,0 +1,215 @@
+"""Functional surrogates for the remaining bridge-gated env families:
+MiniGrid (GridWorld study), Sailing, Parking, LaneKeeping — every reference
+corpus family now loads and runs without external simulator packages
+(reference: scripts/configs/{GridWorld,SailingEnv,ParkingEnv,LaneKeepingEnv})."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rl_agents_tpu.envs.minigrid import MiniGridEnv
+from rl_agents_tpu.envs.parking import ParkingEnv
+from rl_agents_tpu.envs.sailing import SailingEnv
+from rl_agents_tpu.factory import load_agent, load_environment
+
+C = "scripts/configs"
+
+
+# ---------------------------------------------------------------------------
+# MiniGrid (reference: GridWorld/empty.json, collect*.json)
+# ---------------------------------------------------------------------------
+
+def test_minigrid_empty_goal_reward():
+    env = MiniGridEnv(size=5, task="empty", max_episode_steps=50)
+    params = env.default_params()
+    state, _ = env.reset(params, jax.random.PRNGKey(0))
+    # turn to face down, then walk the L to the goal corner (3, 3)
+    plan = [2, 2, 1, 2, 2]  # right x2, turn right (face down), down x2
+    reward = 0.0
+    for a in plan:
+        out = env.step(params, state, jnp.int32(a), jax.random.PRNGKey(1))
+        state, reward = out.state, float(out.reward)
+    assert bool(out.terminated)
+    assert reward == pytest.approx(1.0 - 0.9 * 5 / 50)
+
+
+def test_minigrid_walls_clip():
+    env = MiniGridEnv(size=5, task="empty")
+    params = env.default_params()
+    state, _ = env.reset(params, jax.random.PRNGKey(0))
+    # face left (dir 2) and push into the wall: position stays (1, 1)
+    state = state._replace(dir=jnp.int32(2))
+    out = env.step(params, state, jnp.int32(2), jax.random.PRNGKey(0))
+    assert tuple(np.asarray(out.state.pos)) == (1, 1)
+
+
+def test_minigrid_collect_items_and_termination():
+    env = MiniGridEnv(size=9, task="collect", items=2, seed=3)
+    params = env.default_params()
+    state, _ = env.reset(params, jax.random.PRNGKey(0))
+    # teleport next to the first item and step onto it
+    ix, iy = env._item_cells[0]
+    state = state._replace(pos=jnp.array([ix - 1, iy], jnp.int32),
+                           dir=jnp.int32(0))
+    out = env.step(params, state, jnp.int32(2), jax.random.PRNGKey(5))
+    assert float(out.reward) == 1.0
+    assert bool(out.state.collected[0]) and not bool(out.terminated)
+    # stepping on it again pays nothing
+    out2 = env.step(params, out.state._replace(pos=jnp.array([ix - 1, iy], jnp.int32)),
+                    jnp.int32(2), jax.random.PRNGKey(6))
+    assert float(out2.reward) == 0.0
+    # collecting the second ends the episode
+    jx, jy = env._item_cells[1]
+    st = out.state._replace(pos=jnp.array([jx - 1, jy], jnp.int32), dir=jnp.int32(0))
+    out3 = env.step(params, st, jnp.int32(2), jax.random.PRNGKey(7))
+    assert float(out3.reward) == 1.0 and bool(out3.terminated)
+
+
+def test_minigrid_stochasticity_drops_actions():
+    env = MiniGridEnv(size=9, task="empty", stochasticity=0.5)
+    params = env.default_params()
+    state, _ = env.reset(params, jax.random.PRNGKey(0))
+    moved = [bool(jnp.any(env.step(params, state, jnp.int32(2),
+                                   jax.random.PRNGKey(k)).state.pos != state.pos))
+             for k in range(40)]
+    assert 5 < sum(moved) < 35  # both branches exercised
+
+
+def test_gridworld_corpus_runs_planners():
+    env = load_environment(f"{C}/GridWorld/empty.json")
+    assert env.functional.size == 16 and env.functional.task == "empty"
+    obs, _ = env.reset(seed=0)
+    agent = load_agent(f"{C}/GridWorld/agents/opd.json", env)
+    assert 0 <= int(agent.act(obs)) < 3
+    env2 = load_environment(f"{C}/GridWorld/collect_stochastic.json")
+    assert env2.functional.stochasticity > 0
+    agent2 = load_agent(f"{C}/GridWorld/agents/state-aware.json", env2)
+    obs2, _ = env2.reset(seed=0)
+    assert 0 <= int(agent2.act(obs2)) < 3
+
+
+# ---------------------------------------------------------------------------
+# Sailing (reference: SailingEnv/env*.json)
+# ---------------------------------------------------------------------------
+
+def test_sailing_cost_structure():
+    env = SailingEnv(size=6)
+    params = env.default_params()
+    state, _ = env.reset(params, jax.random.PRNGKey(0))
+    state = state._replace(pos=jnp.array([2, 2], jnp.int32), wind=jnp.int32(0))
+    # downwind (action 0 == wind 0) is the cheapest cardinal move;
+    # dead upwind (action 4) the most expensive
+    r_down = float(env.step(params, state, jnp.int32(0), jax.random.PRNGKey(1)).reward)
+    r_up = float(env.step(params, state, jnp.int32(4), jax.random.PRNGKey(1)).reward)
+    assert r_down > r_up
+    # diagonal moves scale by sqrt(2) at equal angle: compare crosswind pairs
+    r_card = float(env.step(params, state, jnp.int32(2), jax.random.PRNGKey(1)).reward)
+    assert r_card < 0  # every move costs
+
+
+def test_sailing_goal_terminates():
+    env = SailingEnv(size=4)
+    params = env.default_params()
+    state, _ = env.reset(params, jax.random.PRNGKey(0))
+    state = state._replace(pos=jnp.array([2, 2], jnp.int32))
+    out = env.step(params, state, jnp.int32(1), jax.random.PRNGKey(0))  # NE
+    assert bool(out.terminated) and float(out.reward) == 1.0
+
+
+def test_sailing_wind_drifts_one_step():
+    env = SailingEnv(size=8)
+    params = env.default_params()
+    state, _ = env.reset(params, jax.random.PRNGKey(0))
+    state = state._replace(wind=jnp.int32(3))
+    winds = {int(env.step(params, state, jnp.int32(0),
+                          jax.random.PRNGKey(k)).state.wind) for k in range(60)}
+    assert winds <= {2, 3, 4} and len(winds) == 3
+
+
+def test_sailing_corpus_sizes():
+    for name, size in [("env5.json", 5), ("env10.json", 10), ("env20.json", 20)]:
+        env = load_environment(f"{C}/SailingEnv/{name}")
+        assert env.functional.size == size
+    env = load_environment(f"{C}/SailingEnv/env5.json")
+    obs, _ = env.reset(seed=0)
+    agent = load_agent(f"{C}/SailingEnv/agents/uct.json", env)
+    assert 0 <= int(agent.act(obs)) < 8
+
+
+# ---------------------------------------------------------------------------
+# Parking (reference: ParkingEnv/env.json + cem.json)
+# ---------------------------------------------------------------------------
+
+def test_parking_reward_is_goal_distance():
+    env = ParkingEnv()
+    params = env.default_params()
+    state, obs = env.reset(params, jax.random.PRNGKey(4))
+    out_idle = env.step(params, state, jnp.zeros(2), jax.random.PRNGKey(0))
+    # moving toward the goal beats idling (goal y is +-10, start at origin)
+    toward = jnp.sign(state.goal[1])
+    # accelerate along the heading that faces the goal y: steer first
+    assert float(out_idle.reward) < 0
+    # at the exact goal pose the reward is ~0 and the episode succeeds
+    at_goal = state._replace(x=state.goal[0], y=state.goal[1],
+                             heading=state.goal[2], speed=jnp.float32(0.0))
+    out_goal = env.step(params, at_goal, jnp.zeros(2), jax.random.PRNGKey(0))
+    assert float(out_goal.reward) > -0.2
+    assert bool(out_goal.info["is_success"])
+
+
+def test_parking_cem_improves_over_random():
+    env = load_environment(f"{C}/ParkingEnv/env.json")
+    cem = load_agent(f"{C}/ParkingEnv/cem.json", env)
+    rnd = load_agent(f"{C}/ParkingEnv/RandomUniformAgent.json", env)
+
+    def rollout(agent, seed, steps=12):
+        obs, _ = env.reset(seed=seed)
+        agent.seed(seed)
+        total = 0.0
+        for _ in range(steps):
+            obs, r, term, trunc, _ = env.step(np.asarray(agent.act(obs)).reshape(-1))
+            total += float(r)
+            if term or trunc:
+                break
+        return total
+
+    cem_r = np.mean([rollout(cem, s) for s in range(3)])
+    rnd_r = np.mean([rollout(rnd, s) for s in range(3)])
+    assert cem_r > rnd_r, (cem_r, rnd_r)
+
+
+# ---------------------------------------------------------------------------
+# LaneKeeping (reference: LaneKeepingEnv/env.json + agents)
+# ---------------------------------------------------------------------------
+
+def test_lane_keeping_feedback_regulates():
+    from scipy.linalg import solve_continuous_are
+
+    env = load_environment(f"{C}/LaneKeepingEnv/env.json")
+    assert env.functional.action_space.shape == (1,)
+    p = env.params
+    A = np.asarray(p.A) + float(p.theta[0]) * np.asarray(p.phi[0])
+    B = np.asarray(p.B)
+    P = solve_continuous_are(A, B, np.eye(4), np.eye(1))
+    K = B.T @ P  # u = K(ref - x) = -Kx is the LQR law
+    obs, _ = env.reset(seed=0)
+    agent = load_agent({"__class__": "LinearFeedbackAgent",
+                        "K": K.tolist(), "discrete": False}, env)
+    y_abs = []
+    for _ in range(120):
+        u = agent.act(obs)
+        obs, r, term, trunc, info = env.step(u)
+        y_abs.append(abs(float(obs["state"][0])))
+        if term or trunc:
+            break
+    # stabilizing feedback drives the lateral offset toward the lane center
+    assert y_abs[-1] < 0.2 * y_abs[0], (y_abs[0], y_abs[-1])
+
+
+def test_lane_keeping_open_loop_config():
+    env = load_environment(f"{C}/LaneKeepingEnv/env.json")
+    agent = load_agent(f"{C}/LaneKeepingEnv/agents/open_loop.json", env)
+    obs, _ = env.reset(seed=0)
+    a = agent.act(obs)
+    obs2, r, term, trunc, _ = env.step(a)
+    assert np.isfinite(r)
