@@ -350,10 +350,12 @@ def _bench_fused(env, model, num_envs, steps, **kwargs):
     return env_steps / dt, _roofline(flops, bytes_, 1.0 / dt, env_steps, mfu=True)
 
 
-def bench_dqn_fused(num_envs=128, steps=500):
+def bench_dqn_fused(num_envs=128, steps=2000):
     """Fused actor-learner on CartPole: env-steps/s with one SGD/env-step.
     The segment is already one chained on-device scan; slope over segment
-    length cancels RTT + transfer."""
+    length cancels RTT + transfer. 2000 steps keeps the segment wall an
+    order of magnitude above tunnel-RTT jitter (500-step segments swung
+    +/-25% run-to-run, measured)."""
     from rl_agents_tpu.envs.cartpole import CartPoleEnv
     from rl_agents_tpu.models import MultiLayerPerceptron
 

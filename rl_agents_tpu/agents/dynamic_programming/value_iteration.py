@@ -64,6 +64,11 @@ class ValueIterationAgent(AbstractAgent):
             self.model, self.mode, self.mdp = mdp_view(self.env)
             state = self.mdp.state if hasattr(self.mdp, "state") else state
             self.state_action_value = self.get_state_action_value()
+        if np.ndim(state) > 0 and hasattr(self.mdp, "state"):
+            # feature-vector observation: the MDP view tracks the index
+            # (e.g. the sailing accessor; reference: value_iteration.py:33-35
+            # reads mdp.state the same way after to_finite_mdp)
+            state = self.mdp.state
         return int(np.argmax(self.state_action_value[int(state), :]))
 
     def plan_trajectory(self, state, horizon: int = 10):

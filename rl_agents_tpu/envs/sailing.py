@@ -102,6 +102,47 @@ class SailingEnv(FunctionalEnv):
                        arrived, t >= self.max_episode_steps, {"cost": cost})
 
 
+class SailingMDPAccessor:
+    """Exact finite-MDP view of the sailing domain for the Value Iteration
+    agent and the planner-study oracle (states = S^2 positions x 8 winds,
+    sparse transitions over the 3 wind outcomes). Duck-types the reference's
+    ``env.mdp`` contract (value_iteration.py:14) like the FiniteMDP env's
+    accessor."""
+
+    mode = "sparse"
+
+    def __init__(self, env: SailingEnv, params, handle):
+        S = env.size
+        self._S, self._handle = S, handle
+        N, A, K = S * S * 8, 8, 3
+        x = np.arange(N) // (S * 8)
+        y = (np.arange(N) // 8) % S
+        w = np.arange(N) % 8
+        moves = np.asarray(_MOVES)
+        nx = np.clip(x[:, None] + moves[None, :, 0], 0, S - 1)     # [N, A]
+        ny = np.clip(y[:, None] + moves[None, :, 1], 0, S - 1)
+        angle_cost = np.asarray(params["angle_cost"])
+        delta = np.abs((np.arange(A)[None, :] - w[:, None] + 4) % 8 - 4)
+        cost = angle_cost[delta] * np.asarray(_DIAG)[None, :]
+        worst = angle_cost[4] * np.sqrt(2.0)
+        arrived = (nx == S - 1) & (ny == S - 1)
+        self.reward = np.where(arrived, 1.0, -cost / worst).astype(np.float32)
+        wind_next = np.stack([(w - 1) % 8, w, (w + 1) % 8], axis=1)  # [N, K]
+        self.next = ((nx[:, :, None] * S + ny[:, :, None]) * 8
+                     + wind_next[:, None, :]).astype(np.int32)       # [N, A, K]
+        stability = float(params["stability"])
+        side = (1.0 - stability) / 2.0
+        self.transition = np.broadcast_to(
+            np.array([side, stability, side], np.float32), (N, A, K)).copy()
+        self.terminal = ((x == S - 1) & (y == S - 1))
+
+    @property
+    def state(self):
+        st = self._handle.state
+        pos = np.asarray(st.pos)
+        return int((pos[0] * self._S + pos[1]) * 8 + int(st.wind))
+
+
 def make(config: dict | None = None) -> EnvHandle:
     """Build from a reference SailingEnv config: ``sailing-<S>-v0`` ids carry
     the grid size; ``sailing-v0`` takes it from the ``size`` key."""
@@ -112,4 +153,6 @@ def make(config: dict | None = None) -> EnvHandle:
                       parts[1].isdigit() else 10)
     env = SailingEnv(size=size,
                      max_episode_steps=config.get("max_episode_steps", 20 * size))
-    return EnvHandle(env, env.default_params(), config)
+    handle = EnvHandle(env, env.default_params(), config)
+    handle.mdp = SailingMDPAccessor(env, handle.params, handle)
+    return handle

@@ -126,6 +126,21 @@ def test_sailing_wind_drifts_one_step():
     assert winds <= {2, 3, 4} and len(winds) == 3
 
 
+def test_sailing_vi_oracle_reaches_goal():
+    """The SailingMDPAccessor exposes the exact sparse MDP: the VI agent
+    (SailingEnv/agents/vi.json) must sail the 5x5 grid to the far corner in
+    the optimal 4 diagonal tacks."""
+    env = load_environment(f"{C}/SailingEnv/env5.json")
+    vi = load_agent(f"{C}/SailingEnv/agents/vi.json", env)
+    obs, _ = env.reset(seed=0)
+    for steps in range(1, 31):
+        obs, r, term, trunc, _ = env.step(vi.act(obs))
+        if term or trunc:
+            break
+    assert term and steps <= 6, (steps, term)
+    assert float(r) == 1.0  # goal reward
+
+
 def test_sailing_corpus_sizes():
     for name, size in [("env5.json", 5), ("env10.json", 10), ("env20.json", 20)]:
         env = load_environment(f"{C}/SailingEnv/{name}")
