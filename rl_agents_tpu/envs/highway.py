@@ -95,10 +95,11 @@ class HighwayEnv(FunctionalEnv):
                  acceleration_range: tuple = (-5.0, 5.0),
                  obs_type: str = "kinematics", obs_features: int = 5,
                  obs_vehicles: int | None = None, ttc_horizon: int = 10,
-                 grid_shape: tuple = (11, 11), grid_step: tuple = (5.0, 5.0)):
+                 grid_shape: tuple = (11, 11), grid_step: tuple = (5.0, 5.0),
+                 lidar_cells: int = 16, lidar_range: float = 64.0):
         if action_type not in ("meta", "continuous"):
             raise ValueError(f"Unknown action_type {action_type}")
-        if obs_type not in ("kinematics", "ttc", "occupancy_grid"):
+        if obs_type not in ("kinematics", "ttc", "occupancy_grid", "lidar"):
             raise ValueError(f"Unknown obs_type {obs_type}")
         if not 1 <= controlled_vehicles <= vehicles:
             raise ValueError("controlled_vehicles must be in [1, vehicles]")
@@ -116,6 +117,8 @@ class HighwayEnv(FunctionalEnv):
         self.ttc_horizon = ttc_horizon
         self.grid_shape = tuple(grid_shape)
         self.grid_step = tuple(grid_step)
+        self.lidar_cells = lidar_cells
+        self.lidar_range = lidar_range
         self.spec = EnvSpec("highway", max_episode_steps)
 
     @property
@@ -131,6 +134,8 @@ class HighwayEnv(FunctionalEnv):
             return Box(0.0, 1.0, (3, self.lanes, self.ttc_horizon))
         if self.obs_type == "occupancy_grid":
             return Box(-1.0, 1.0, (self.obs_features,) + self.grid_shape)
+        if self.obs_type == "lidar":
+            return Box(-1.0, 1.0, (self.lidar_cells, 2))
         return Box(-1.0, 1.0, (min(self.obs_vehicles, self.vehicles), self.obs_features))
 
     @property
@@ -451,7 +456,35 @@ class HighwayEnv(FunctionalEnv):
             return self._observe_ttc(params, state, ego)
         if self.obs_type == "occupancy_grid":
             return self._observe_grid(params, state, ego)
+        if self.obs_type == "lidar":
+            return self._observe_lidar(params, state, ego)
         return self._observe_kinematics(params, state, ego)
+
+    def _observe_lidar(self, params: HighwayParams, state: HighwayState, ego: int):
+        """LidarObservation (highway-env observation.py LidarObservation;
+        reference: ExitEnv/env_lidar.json): ``[cells, 2]`` — per angular
+        sector, the normalized distance to the nearest vehicle and its
+        closing speed along the ray. Dense one-hot sector binning, no
+        scatters."""
+        C, R = self.lidar_cells, self.lidar_range
+        dx = state.x - state.x[ego]
+        dy = (state.lane - state.lane[ego]) * LANE_WIDTH
+        dist = jnp.sqrt(dx ** 2 + dy ** 2)
+        angle = jnp.arctan2(dy, dx) % (2 * jnp.pi)
+        sector = (jnp.floor(angle / (2 * jnp.pi / C)).astype(jnp.int32)) % C
+        valid = state.alive & (jnp.arange(self.vehicles) != ego) & (dist <= R)
+        hit = valid[None, :] & (sector[None, :] == jnp.arange(C)[:, None])  # [C, V]
+        d = jnp.where(hit, dist[None, :], jnp.inf)
+        d_min = jnp.min(d, axis=1)
+        nearest = hit & (d <= d_min[:, None] + 1e-6)
+        count = jnp.maximum(jnp.sum(nearest, axis=1), 1)
+        # closing speed along the ray: -(relative velocity . unit ray)
+        vx = state.speed - state.speed[ego]
+        vy = self._lateral_speed(params, state)
+        radial = (vx * dx + vy * dy) / jnp.maximum(dist, 1e-3)
+        closing = jnp.sum(jnp.where(nearest, -radial[None, :], 0.0), axis=1) / count
+        return jnp.stack([jnp.where(jnp.isfinite(d_min), d_min / R, 1.0),
+                          jnp.clip(closing / MAX_SPEED, -1.0, 1.0)], axis=1)
 
     def _directions(self):
         """Per-vehicle travel direction along x (+1), or None when uniform.
@@ -992,12 +1025,18 @@ def _obs_kwargs(config: dict) -> dict:
     if obs.get("type") == "MultiAgentObservation":
         obs = dict(obs.get("observation_config") or {})
         n_ego = max(n_ego, 2)
-    kind = {"TimeToCollision": "ttc", "OccupancyGrid": "occupancy_grid"} \
+    kind = {"TimeToCollision": "ttc", "OccupancyGrid": "occupancy_grid",
+            "LidarObservation": "lidar"} \
         .get(obs.get("type"), "kinematics")
     kwargs = dict(controlled_vehicles=n_ego, obs_type=kind,
                   obs_features=len(obs["features"]) if "features" in obs else 5)
     if kind == "ttc":
         kwargs["ttc_horizon"] = int(obs.get("horizon", 10))
+    if kind == "lidar":
+        if "cells" in obs:
+            kwargs["lidar_cells"] = int(obs["cells"])
+        if "maximum_range" in obs:
+            kwargs["lidar_range"] = float(obs["maximum_range"])
     if kind == "occupancy_grid":
         size = obs.get("grid_size", [[-27.5, 27.5], [-27.5, 27.5]])
         step = obs.get("grid_step", [5, 5])

@@ -249,3 +249,31 @@ def test_change_vehicles_preprocessor():
     de = env.preprocess("change_vehicles",
                         "highway_env.vehicle.behavior.DefensiveVehicle")
     assert float(de.params.idm_t0) > float(new.params.idm_t0)
+
+
+# ---------------------------------------------------------------------------
+# LidarObservation (reference: ExitEnv/env_lidar.json)
+# ---------------------------------------------------------------------------
+
+def test_lidar_observation_sectors():
+    env = HighwayEnv(vehicles=3, lanes=4, obs_type="lidar",
+                     lidar_cells=8, lidar_range=64.0)
+    params = env.default_params()
+    # vehicle 1 dead ahead at 32m closing at -5 (slower); vehicle 2 out of range
+    st = _state(env, x=[0., 32., 500.], lane=[1., 1., 1.],
+                speed=[25., 20., 20.], level=jnp.int32(1))
+    obs = np.asarray(env.observe(params, st))
+    assert obs.shape == (8, 2)
+    assert obs[0, 0] == pytest.approx(0.5)        # sector 0 = +x, 32/64
+    assert obs[0, 1] == pytest.approx(5.0 / 40.0)  # closing at +5 m/s
+    # all other sectors report max range, zero closing speed
+    assert np.allclose(obs[1:, 0], 1.0)
+    assert np.allclose(obs[1:, 1], 0.0)
+
+
+def test_lidar_from_exit_config():
+    env = load_environment(f"{CONFIGS}/ExitEnv/env_lidar.json")
+    assert env.functional.obs_type == "lidar"
+    obs, _ = env.reset(seed=0)
+    assert obs.shape == (16, 2)
+    assert np.all(obs[:, 0] <= 1.0) and np.all(obs[:, 0] >= 0.0)
