@@ -338,11 +338,15 @@ def _bench_fused(env, model, num_envs, steps, **kwargs):
                                              num_envs=num_envs, **kwargs)
     state0 = init_fn(jax.random.PRNGKey(0))
     flops, bytes_ = _cost(segment_fn.lower(state0, steps=steps).compile())
+    # warm segment: fills the replay ring past learning_starts so EVERY timed
+    # step runs its SGD updates (timing from a cold buffer under-trains the
+    # first steps and over-credits the SGD-samples rate)
+    state_warm, _ = segment_fn(jax.tree.map(jnp.copy, state0), steps=steps)
 
     def go():
         # segment_fn donates its input buffers; hand it a fresh copy per run
         # (on CPU the donated original is actually invalidated)
-        state, _ = segment_fn(jax.tree.map(jnp.copy, state0), steps=steps)
+        state, _ = segment_fn(jax.tree.map(jnp.copy, state_warm), steps=steps)
         return float(jax.tree.leaves(state.params)[0].sum())
 
     dt = max(_wall_median(go) - _tunnel_rtt(), 1e-9)
@@ -475,8 +479,12 @@ def bench_trailblazer_batched(batch=None, oracle_budget=500):
     kw = dict(gamma=0.5, delta=0.1, epsilon=4.0, max_oracle_calls=oracle_budget)
 
     single = TrailBlazer(env, **kw)
-    single.run()  # warms the oracle compile cache too
+    single.run()
     states = [env.state] * batch
+    # warm run at the SAME batch: _oracle_batch_multi jit-specializes on the
+    # pow2-padded (requests, draws) shape, and a cold batch-512 bucket would
+    # put a 20-40s remote compile inside the timed window
+    BatchedTrailBlazer(env, states, **kw).run()
     t0 = time.time()
     tb = BatchedTrailBlazer(env, states, **kw)
     values = tb.run()

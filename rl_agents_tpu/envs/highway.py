@@ -656,6 +656,9 @@ class IntersectionEnv(HighwayEnv):
                  obs_type: str = "kinematics", obs_features: int = 5,
                  obs_vehicles: int | None = None,
                  grid_shape: tuple = (11, 11), grid_step: tuple = (5.0, 5.0)):
+        if obs_type not in ("kinematics", "occupancy_grid"):
+            raise ValueError(
+                f"IntersectionEnv supports kinematics/occupancy_grid, not {obs_type}")
         super().__init__(vehicles=vehicles, lanes=1,
                          max_episode_steps=max_episode_steps, policy_dt=policy_dt,
                          controlled_vehicles=controlled_vehicles,
@@ -694,7 +697,14 @@ class IntersectionEnv(HighwayEnv):
         speed_level = jnp.clip(state.speed_level
                                + jnp.where(acts == 2, 1, 0)
                                - jnp.where(acts == 0, 1, 0), 0, 2)
-        ego_target = params.target_speeds[speed_level] * 10.0 / 25.0
+        levels = jnp.arange(params.target_speeds.shape[0])
+        if N == 1:
+            ego_target = jnp.sum(jnp.where(levels == speed_level,
+                                           params.target_speeds, 0.0)) * 10.0 / 25.0
+        else:  # one-hot, not a per-lane gather (ops/onehot.py discipline)
+            ego_target = jnp.sum(jnp.where(levels[None, :] == speed_level[:, None],
+                                           params.target_speeds[None, :], 0.0),
+                                 axis=1) * 10.0 / 25.0
         is_ego = jnp.arange(V) == 0 if N == 1 else jnp.arange(V) < N
         if N == 1:
             acc = jnp.where(is_ego, 2.0 * (ego_target - state.speed), 0.0)
@@ -807,14 +817,12 @@ class IntersectionEnv(HighwayEnv):
             cos_h = jnp.where(is_ego_v, 1.0, 0.0)
             rows = jnp.concatenate(
                 [rows, cos_h[:, None], (1.0 - cos_h)[:, None]], axis=1)
+        # same values as the original single-ego row layout: [1, x/100, 0,
+        # speed/20, 0] (+ cos_h 1 in the 7-feature form)
         ego_row = jnp.zeros((rows.shape[1],)).at[0].set(1.0) \
             .at[1].set(state.x[ego] / 100.0).at[3].set(state.speed[ego] / 20.0)
         if self.obs_features >= 7:
             ego_row = ego_row.at[5].set(1.0)
-        if ego == 0 and self.obs_features < 7:
-            # preserve the original single-ego row layout bit-for-bit
-            ego_row = jnp.stack([1.0, state.x[0] / 100.0, 0.0,
-                                 state.speed[0] / 20.0, 0.0])
         rows = rows.at[ego].set(ego_row)
         if N > 1 and ego != 0:
             # put the observing ego first (ego-first convention)
@@ -838,6 +846,8 @@ class TwoWayEnv(HighwayEnv):
                  obs_vehicles: int | None = None, ttc_horizon: int = 10):
         if not 0 <= oncoming <= vehicles - 1:
             raise ValueError("oncoming must leave room for the ego")
+        if obs_type not in ("kinematics", "ttc"):
+            raise ValueError(f"TwoWayEnv supports kinematics/ttc, not {obs_type}")
         super().__init__(vehicles=vehicles, lanes=2,
                          max_episode_steps=max_episode_steps, policy_dt=policy_dt,
                          obs_type=obs_type, obs_features=obs_features,
@@ -1028,8 +1038,13 @@ def _obs_kwargs(config: dict) -> dict:
     kind = {"TimeToCollision": "ttc", "OccupancyGrid": "occupancy_grid",
             "LidarObservation": "lidar"} \
         .get(obs.get("type"), "kinematics")
+    # the surrogate emits 5-feature or 7-feature (heading) kinematics rows;
+    # size by heading presence, not raw list length (a 6-item list without
+    # 'presence' would otherwise declare a space no observation matches)
+    features = obs.get("features") or []
     kwargs = dict(controlled_vehicles=n_ego, obs_type=kind,
-                  obs_features=len(obs["features"]) if "features" in obs else 5)
+                  obs_features=7 if ("cos_h" in features or "sin_h" in features)
+                  else 5)
     if kind == "ttc":
         kwargs["ttc_horizon"] = int(obs.get("horizon", 10))
     if kind == "lidar":
@@ -1081,7 +1096,10 @@ def make(config: dict | None = None) -> EnvHandle:
 def make_intersection(config: dict | None = None) -> EnvHandle:
     config = dict(config or {})
     obs_kw = _obs_kwargs(config)
-    obs_kw.pop("ttc_horizon", None)
+    for k in ("ttc_horizon", "lidar_cells", "lidar_range"):
+        obs_kw.pop(k, None)
+    if obs_kw.get("obs_type") not in ("kinematics", "occupancy_grid"):
+        obs_kw["obs_type"] = "kinematics"  # crossing geometry has no ttc/lidar
     vehicles = config.get("vehicles_count",
                           config.get("initial_vehicle_count", 4)
                           + obs_kw["controlled_vehicles"] + 3)
@@ -1096,8 +1114,11 @@ def make_intersection(config: dict | None = None) -> EnvHandle:
 def make_twoway(config: dict | None = None) -> EnvHandle:
     config = dict(config or {})
     obs_kw = _obs_kwargs(config)
-    obs_kw.pop("grid_shape", None), obs_kw.pop("grid_step", None)
-    obs_kw.pop("controlled_vehicles", None)
+    for k in ("grid_shape", "grid_step", "controlled_vehicles",
+              "lidar_cells", "lidar_range"):
+        obs_kw.pop(k, None)
+    if obs_kw.get("obs_type") not in ("kinematics", "ttc"):
+        obs_kw["obs_type"] = "kinematics"
     env = TwoWayEnv(vehicles=config.get("vehicles_count", 6),
                     oncoming=config.get("oncoming", 3),
                     max_episode_steps=config.get(

@@ -277,3 +277,21 @@ def test_lidar_from_exit_config():
     obs, _ = env.reset(seed=0)
     assert obs.shape == (16, 2)
     assert np.all(obs[:, 0] <= 1.0) and np.all(obs[:, 0] >= 0.0)
+
+
+def test_six_feature_config_sizes_consistently():
+    """A features list without presence/heading columns (e.g. parking's
+    6-item list) must not declare an observation space the env never emits:
+    sizing keys on heading presence, so emitted rows always match the
+    declared space (code-review r4 finding)."""
+    env = make({"observation": {"type": "Kinematics",
+                                "features": ["x", "y", "vx", "vy",
+                                             "cos_h", "sin_h"]},
+                "vehicles_count": 6})
+    obs, _ = env.reset(seed=0)
+    assert obs.shape == env.functional.observation_space.shape
+    env2 = make({"observation": {"type": "Kinematics",
+                                 "features": ["presence", "x", "y", "vx", "vy"]},
+                 "vehicles_count": 6})
+    obs2, _ = env2.reset(seed=0)
+    assert obs2.shape == (6, 5) == env2.functional.observation_space.shape
