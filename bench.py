@@ -412,7 +412,8 @@ def bench_ego_attention_train(num_envs=None, steps=None, batch_size=None,
                                 dtype=jnp.bfloat16)
     env_steps_rate, _ = _bench_fused(
         env, model, num_envs, steps, capacity=65_536, batch_size=batch_size,
-        learning_starts=batch_size, updates_per_step=updates_per_step)
+        learning_starts=batch_size, updates_per_step=updates_per_step,
+        sample_mode="slices" if batch_size % num_envs == 0 else "uniform")
     # the training number is SGD samples/s, not env-steps/s
     sgd_samples_rate = env_steps_rate / num_envs * batch_size * updates_per_step
 

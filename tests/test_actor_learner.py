@@ -67,6 +67,34 @@ def test_fused_updates_per_step():
         assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
+def test_fused_slices_sampling_learns():
+    """``sample_mode="slices"`` (whole random time-slices of independent
+    envs instead of a random-row gather — the throughput path) must still
+    learn CartPole: same unbiased per-transition marginal."""
+    env = CartPoleEnv(max_episode_steps=200)
+    model = MultiLayerPerceptron(layers=(64, 64), out=2)
+    init_fn, segment_fn = make_actor_learner(
+        env, model, optax.adam(1e-3), num_envs=8, capacity=4096,
+        batch_size=64, learning_starts=64, eps_tau=1500.0, target_update=50,
+        sample_mode="slices")
+    state = init_fn(jax.random.PRNGKey(0))
+    history = []
+    for _ in range(12):
+        state, _ = segment_fn(state, steps=500)
+        history.append(float(state.completed_return))
+    assert history[-1] > 60, f"no learning with slice sampling: {history}"
+
+
+def test_fused_slices_requires_alignment():
+    env = CartPoleEnv(max_episode_steps=200)
+    model = MultiLayerPerceptron(layers=(16,), out=2)
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_actor_learner(env, model, optax.adam(1e-3), num_envs=8,
+                           batch_size=100, sample_mode="slices")
+
+
 def test_fused_n_step_collapse_stride():
     """n-step in the fused loop: same-env consecutive transitions sit at
     stride E in the interleaved ring, so the collapsed targets must match a
