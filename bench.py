@@ -363,9 +363,12 @@ def bench_dqn_fused(num_envs=128, steps=2000):
     from rl_agents_tpu.envs.cartpole import CartPoleEnv
     from rl_agents_tpu.models import MultiLayerPerceptron
 
+    # ring capacity rounded to a num_envs multiple (~the reference's 50k):
+    # an aligned ring writes via one dynamic_update_slice per step instead
+    # of a scatter (parallel/actor_learner.py)
     return _bench_fused(CartPoleEnv(max_episode_steps=200),
                         MultiLayerPerceptron(layers=(64, 64), out=2),
-                        num_envs, steps, capacity=50_000, batch_size=100)
+                        num_envs, steps, capacity=50_048, batch_size=100)
 
 
 def bench_dqn_ego_attention(num_envs=64, steps=100):
@@ -380,7 +383,7 @@ def bench_dqn_ego_attention(num_envs=64, steps=100):
                                 output_layers=(64,), feature_size=64, heads=4)
     return _bench_fused(HighwayEnv(vehicles=15, lanes=4, max_episode_steps=40),
                         model, num_envs, steps,
-                        capacity=10_000, batch_size=64)
+                        capacity=10_240, batch_size=64)  # aligned ring
 
 
 def bench_ego_attention_train(num_envs=None, steps=None, batch_size=None,

@@ -408,14 +408,24 @@ def make_sharded_actor_learner(env: FunctionalEnv, model, optimizer, mesh,
         episode_return = jnp.where(done, 0.0, episode_return)
 
         # ---- per-shard replay write (E rows each) --------------------
-        idx = (state.position + jnp.arange(E)) % C
+        if C % E == 0:
+            # aligned ring: one dynamic_update_slice per shard row instead
+            # of a scatter (same discipline as the single-mesh loop above)
+            def put(arr, rows):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    arr, rows.astype(arr.dtype), state.position, axis=1)
+        else:
+            idx = (state.position + jnp.arange(E)) % C
+
+            def put(arr, rows):
+                return arr.at[:, idx].set(rows.astype(arr.dtype))
+
         buffer = Batch(
-            state=state.buffer.state.at[:, idx].set(state.obs),
-            action=state.buffer.action.at[:, idx].set(actions),
-            reward=state.buffer.reward.at[:, idx].set(outs.reward),
-            next_state=state.buffer.next_state.at[:, idx].set(
-                outs.obs.astype(jnp.float32)),
-            terminal=state.buffer.terminal.at[:, idx].set(outs.terminated),
+            state=put(state.buffer.state, state.obs),
+            action=put(state.buffer.action, actions),
+            reward=put(state.buffer.reward, outs.reward),
+            next_state=put(state.buffer.next_state, outs.obs.astype(jnp.float32)),
+            terminal=put(state.buffer.terminal, outs.terminated),
         )
         position = (state.position + E) % C
         size = jnp.minimum(state.size + E, C)
