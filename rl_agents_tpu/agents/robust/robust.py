@@ -182,11 +182,15 @@ class DiscreteRobustPlannerAgent(AbstractTreeSearchAgent):
         pass
 
     def ensemble(self, env):
-        """Stack env params over the model axis."""
+        """Stack env params over the model axis. The corpus spells the
+        preprocessor-list-per-model key ``envs_preprocessors``
+        (reference: MergeEnv/agents/DiscreteRobustMCTSAgent/agg_def.json)."""
         if getattr(self, "params_ensemble", None) is not None:
             return self.params_ensemble
+        model_specs = (self.config.get("models")
+                       or self.config.get("envs_preprocessors") or [])
         variants = [preprocess_env(env, preprocessors).params
-                    for preprocessors in self.config["models"]] or [env.params]
+                    for preprocessors in model_specs] or [env.params]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *variants)
 
     def planner_plan(self, env, observation):

@@ -125,7 +125,13 @@ class AbstractTreeSearchAgent(AbstractAgent):
         self.steps += 1
         replanning_required = self.step(self.previous_actions)
         if replanning_required:
-            env = preprocess_env(self.env, self.config["env_preprocessors"])
+            # also honor the corpus's singular "env_preprocessor" spelling
+            # (MergeEnv/agents/MCTSAgent/assume_aggressive.json) — the
+            # reference reads only the plural and silently planned on the
+            # unmodified env there
+            preprocessors = self.config["env_preprocessors"] \
+                or self.config.get("env_preprocessor") or []
+            env = preprocess_env(self.env, preprocessors)
             actions = self.planner_plan(env, observation)
         else:
             actions = self.previous_actions[1:]

@@ -75,6 +75,30 @@ def test_config_corpus_integrity():
     assert n_agents >= 150 and n_envs >= 50
 
 
+def test_robust_merge_study(tmp_path, monkeypatch):
+    """The reference's MergeEnv robust-control benchmark runs end-to-end on
+    the functional surrogates: corpus env/agent configs (incl. the
+    change_vehicles behavior-ensemble preprocessors) -> per-pair returns CSV
+    (reference: scripts/configs/MergeEnv/benchmark_robust_control.json)."""
+    import planners_robust_evaluation as study
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["planners_robust_evaluation.py", "--study", "merge", "--seeds", "1",
+         "--budget", "15", "--horizon", "4", "--out", str(tmp_path)])
+    study.main()
+    lines = (tmp_path / "data.csv").read_text().splitlines() \
+        if (tmp_path / "data.csv").exists() \
+        else (tmp_path / "results.csv").read_text().splitlines()
+    assert lines[0] == "agent,environment,mean_return,std_return"
+    rows = [ln.split(",") for ln in lines[1:]]
+    # 3 unique agents x 2 envs, finite returns
+    assert len(rows) == 6
+    agents = {r[0] for r in rows}
+    assert agents == {"assume_aggressive", "assume_defensive", "agg_def"}
+    assert all(float(r[2]) > 0 for r in rows)
+
+
 def test_planner_study_regret_csv(tmp_path, monkeypatch):
     """The planner-efficiency study writes the reference's exact CSV schema
     and measures simple regret against the VI oracle
