@@ -146,23 +146,61 @@ class MCTSWithPriorPolicyAgent(MCTSAgent):
         self.prior_agent = agent_factory(self.env, self.config["prior_agent"])
         if "model_save" in self.config["prior_agent"]:
             self.prior_agent.load(self.config["prior_agent"]["model_save"])
-        temperature = self.config["prior_agent"].get("exploration", {}).get(
+        self._temperature = self.config["prior_agent"].get("exploration", {}).get(
             "temperature", 0.5)
-        model = self.prior_agent.model
-        obs_dim = int(jnp.prod(jnp.asarray(self.env.observation_space.shape or (1,))))
+        if hasattr(self.prior_agent, "model") and hasattr(self.prior_agent, "train_state"):
+            # parametric prior (DQN): evaluated per node inside the jitted
+            # planner (reference: mcts_with_prior.py:47-53 calls the prior
+            # at every expansion)
+            model = self.prior_agent.model
+            temperature = self._temperature
+            obs_dim = int(jnp.prod(jnp.asarray(self.env.observation_space.shape or (1,))))
 
-        def prior_fn(params, obs):
-            q = model.apply(params, jnp.ravel(jnp.asarray(obs, jnp.float32))[None, :obs_dim])
-            return jax.nn.softmax(q[0] / temperature)
+            def prior_fn(params, obs):
+                q = model.apply(params, jnp.ravel(jnp.asarray(obs, jnp.float32))[None, :obs_dim])
+                return jax.nn.softmax(q[0] / temperature)
 
-        self._prior_fn = prior_fn
+            self._prior_fn = prior_fn
+            self._tabular_prior = False
+        else:
+            # tabular/planner prior (e.g. the VI prior of
+            # HighwayEnv/MCTSWithPriorPolicyAgent/vi_prior.json): its Q-table
+            # indexes MDP states, not observations, so it cannot be evaluated
+            # at arbitrary simulated nodes inside the jitted planner. The
+            # fused program instead applies the prior's ROOT-state action
+            # distribution (refreshed each plan) at every node — a documented
+            # approximation of the reference's per-node host calls.
+            self._prior_fn = lambda params, obs: params
+            self._tabular_prior = True
 
     @property
     def _prior_params(self):
+        if self._tabular_prior:
+            return self._root_prior
         return self.prior_agent.train_state.params
+
+    def _refresh_root_prior(self, observation):
+        import numpy as np
+
+        pa = self.prior_agent
+        pa.act(observation)  # re-derives tabular views around the root state
+        A = self.num_actions
+        if hasattr(pa, "state_action_value") and hasattr(pa, "mdp") \
+                and hasattr(pa.mdp, "state"):
+            q = np.asarray(pa.state_action_value[int(pa.mdp.state)], np.float32)
+            z = q / max(self._temperature, 1e-6)
+            z -= z.max()
+            probs = np.exp(z) / np.exp(z).sum()
+        else:
+            probs = np.full((A,), 0.1 / max(A - 1, 1), np.float32)
+            probs[int(pa.act(observation))] = 0.9
+        self._root_prior = jnp.asarray(probs[:A])
 
     def planner_plan(self, env, observation):
         functional = env.functional
+        if self._tabular_prior:
+            self.num_actions = functional.action_space.n
+            self._refresh_root_prior(observation)
         obs0 = jax.tree.map(jnp.asarray, env.obs if env.obs is not None else observation)
         actions, length, tree = mcts_prior_plan(
             functional, env.params, env.state, obs0, self.next_key(),

@@ -246,6 +246,16 @@ class EnvHandle:
         return (jax.tree.map(np.asarray, out.obs), float(out.reward),
                 bool(out.terminated), bool(out.truncated), info)
 
+    def to_finite_mdp(self):
+        """Finite-MDP view around the current state, for envs whose
+        functional core supports the conversion (the reference calls
+        env.to_finite_mdp() the same way; value_iteration.py:29-35)."""
+        fn = getattr(self.functional, "to_finite_mdp", None)
+        if fn is None:
+            raise TypeError(
+                f"{type(self.functional).__name__} has no finite-MDP view")
+        return fn(self.params, self.state)
+
     def render(self):
         return None
 

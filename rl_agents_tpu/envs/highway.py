@@ -603,6 +603,56 @@ class HighwayEnv(FunctionalEnv):
         stack = jnp.stack(feats[:self.obs_features], axis=0)     # [F, V]
         return jnp.clip(jnp.einsum("fv,vhw->fhw", stack, cell_f), -1.0, 1.0)
 
+    def to_finite_mdp(self, params, state):
+        """TTC-grid finite-MDP view (highway-env
+        envs/common/finite_mdp.py:finite_mdp): states are (ego speed level,
+        lane, time-to-collision position), actions the 5 meta-actions;
+        moving into an occupied TTC cell crashes into an absorbing state.
+        Powers ValueIterationAgent and the MCTS VI-prior configs
+        (reference: HighwayEnv/agents/ValueIterationAgent/baseline.json,
+        MCTSWithPriorPolicyAgent/vi_prior.json)."""
+        import numpy as np
+
+        L, H = self.lanes, self.ttc_horizon
+        V = int(params.target_speeds.shape[0])
+        grid = np.asarray(self._observe_ttc(params, state, 0))  # [V, L, H]
+        S = V * L * H + 1
+        crash = S - 1
+        idx = np.arange(S - 1)
+        lvl, lane, t = idx // (L * H), (idx // H) % L, idx % H
+        # action-conditioned next (speed level, lane); time always advances
+        lvl_next = np.stack([lvl, lvl, lvl,
+                             np.minimum(lvl + 1, V - 1),
+                             np.maximum(lvl - 1, 0)], axis=1)
+        lane_next = np.stack([np.maximum(lane - 1, 0), lane,
+                              np.minimum(lane + 1, L - 1), lane, lane], axis=1)
+        t_next = np.minimum(t + 1, H - 1)[:, None].repeat(5, axis=1)
+        collided = grid[lvl_next, lane_next, t_next] > 0
+        nxt = (lvl_next * L + lane_next) * H + t_next
+        transition = np.where(collided, crash, nxt).astype(np.int32)
+        transition = np.concatenate(
+            [transition, np.full((1, 5), crash, np.int32)])  # absorbing crash
+        hs = float(params.high_speed_reward)
+        rl = float(params.right_lane_reward)
+        cr = float(params.collision_reward)
+        raw = np.where(collided, cr,
+                       hs * lvl_next / max(V - 1, 1)
+                       + rl * lane_next / max(L - 1, 1))
+        reward = ((raw - cr) / (hs + rl - cr)).astype(np.float32)
+        reward = np.concatenate([reward, np.zeros((1, 5), np.float32)])
+        terminal = np.zeros(S, bool)
+        terminal[crash] = True
+
+        ego_level = int(np.asarray(state.speed_level).ravel()[0])
+        ego_state = int((ego_level * L + int(round(float(state.lane[0])))) * H)
+
+        class _View:
+            mode = "deterministic"
+        view = _View()
+        view.transition, view.reward, view.terminal = transition, reward, terminal
+        view.state = ego_state
+        return view
+
     def preprocess(self, name, args):
         """highway-env planning preprocessors (reference: factory.py:97-116):
         ``simplify`` keeps the ego + closest vehicles, shrinking the planning

@@ -295,3 +295,46 @@ def test_six_feature_config_sizes_consistently():
                  "vehicles_count": 6})
     obs2, _ = env2.reset(seed=0)
     assert obs2.shape == (6, 5) == env2.functional.observation_space.shape
+
+
+# ---------------------------------------------------------------------------
+# TTC-grid finite-MDP view (reference: highway-env finite_mdp conversion)
+# ---------------------------------------------------------------------------
+
+def test_highway_to_finite_mdp_vi():
+    """ValueIterationAgent plans on the TTC-grid MDP view
+    (reference: HighwayEnv/agents/ValueIterationAgent/baseline.json +
+    highway-env envs/common/finite_mdp.py)."""
+    env = load_environment({"id": "highway", "vehicles_count": 8})
+    obs, _ = env.reset(seed=0)
+    view = env.to_finite_mdp()
+    V, L, H = 3, 4, 10
+    assert view.transition.shape == (V * L * H + 1, 5)
+    assert bool(view.terminal[-1])        # absorbing crash state
+    assert np.all(view.reward[-1] == 0.0)
+    # FASTER from the top speed level stays at the top level
+    top = ((V - 1) * L + 1) * H
+    nxt = view.transition[top, 3]
+    assert nxt // (L * H) == V - 1
+    vi = load_agent({"__class__": "ValueIterationAgent", "gamma": 0.9,
+                     "iterations": 60}, env)
+    total, crashed = 0.0, False
+    for _ in range(10):
+        obs, r, term, trunc, info = env.step(vi.act(obs))
+        total += float(r)
+        crashed = bool(info["crashed"])
+        if term or trunc:
+            break
+    assert not crashed and total > 7.0  # drives fast without crashing
+
+
+def test_mcts_vi_prior_config():
+    """The corpus's VI-prior MCTS loads and plans (the fused planner applies
+    the tabular prior's root-state distribution at every node — documented
+    approximation of the reference's per-node host calls)."""
+    env = load_environment({"id": "highway", "vehicles_count": 8})
+    obs, _ = env.reset(seed=0)
+    agent = load_agent(
+        f"{CONFIGS}/HighwayEnv/agents/MCTSWithPriorPolicyAgent/vi_prior.json", env)
+    assert 0 <= int(agent.act(obs)) < 5
+    assert float(jnp.sum(agent._root_prior)) == pytest.approx(1.0, abs=1e-5)
