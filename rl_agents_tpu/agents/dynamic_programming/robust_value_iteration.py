@@ -35,7 +35,11 @@ class RobustValueIterationAgent(AbstractAgent):
         transitions = np.array([m["transition"] for m in models])
         rewards = np.array([m["reward"] for m in models], dtype=np.float32)
         M, S, A = rewards.shape
-        terminals = np.array([m.get("terminal", np.zeros(S)) for m in models], dtype=bool)
+        # the corpus spells per-state terminals as single-element rows
+        # ([[0],[0],[1],[1]], FiniteMDPEnv/anti_vi) — flatten to [S]
+        terminals = np.array([np.asarray(m.get("terminal", np.zeros(S)),
+                                         dtype=bool).reshape(-1)[:S]
+                              for m in models], dtype=bool)
         if self.mode == "deterministic":
             transitions = transitions.astype(np.int32)
         self.models = BellmanModel(

@@ -102,7 +102,12 @@ def params_from_config(config: dict) -> tuple[FiniteMDPEnv, MDPParams]:
     transition = np.asarray(config["transition"])
     reward = np.asarray(config["reward"], dtype=np.float32)
     S, A = reward.shape
-    terminal = np.asarray(config.get("terminal", np.zeros(S)), dtype=bool)
+    # clamp to S states: the reference corpus's env_bandit.json declares one
+    # state but a per-action-length terminal list (upstream sloppiness that
+    # its dict-based env never noticed; array shapes do)
+    terminal_cfg = np.asarray(config.get("terminal", np.zeros(S)), dtype=bool).reshape(-1)
+    terminal = np.zeros(S, bool)
+    terminal[:min(S, terminal_cfg.shape[0])] = terminal_cfg[:S]
     # the reference corpus spells the horizon "max_steps"
     # (scripts/configs/FiniteMDPEnv/**/env*.json)
     max_steps = config.get("max_episode_steps", config.get("max_steps", 100))

@@ -1161,6 +1161,19 @@ def make_intersection(config: dict | None = None) -> EnvHandle:
                      config)
 
 
+def make_roundabout(config: dict | None = None) -> EnvHandle:
+    """Roundabout surrogate (highway-env roundabout-v0; reference:
+    RoundaboutEnv/*.json): approximated as a short 2-lane circulating
+    carriageway — the full 5-meta-action set (the corpus's MCTS priors index
+    FASTER/SLOWER) with lane-change/insertion interactions; route
+    preprocessors are accepted as no-ops on the surrogate geometry."""
+    config = dict(config or {})
+    config.setdefault("lanes_count", 2)
+    config.setdefault("vehicles_count", 10)
+    config.setdefault("duration", 11)
+    return make(config)
+
+
 def make_twoway(config: dict | None = None) -> EnvHandle:
     config = dict(config or {})
     obs_kw = _obs_kwargs(config)

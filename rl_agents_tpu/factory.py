@@ -74,7 +74,9 @@ ENV_REGISTRY: Dict[str, str] = {
     "merge-v0": "rl_agents_tpu.envs.highway:make",
     "intersection-v0": "rl_agents_tpu.envs.highway:make_intersection",
     "intersection-multi-agent-v0": "rl_agents_tpu.envs.highway:make_intersection",
-    "roundabout-v0": "rl_agents_tpu.envs.highway:make_intersection",
+    # roundabout keeps highway-env's 5 meta-actions (its corpus MCTS priors
+    # index action 3/4); a 2-lane ring approximated by the lane-change surrogate
+    "roundabout-v0": "rl_agents_tpu.envs.highway:make_roundabout",
     "two-way-v0": "rl_agents_tpu.envs.highway:make_twoway",
     "MiniGrid-Empty-16x16-v0": "rl_agents_tpu.envs.minigrid:make",
     "MiniGrid-Collect-9x9-v0": "rl_agents_tpu.envs.minigrid:make",
@@ -120,7 +122,16 @@ def agent_factory(environment, config: Dict):
 
 
 def load_agent_config(config_path: str | Path) -> Dict:
-    return load_json_config(config_path)
+    path = Path(config_path)
+    if not path.is_file() and not path.is_absolute():
+        # the corpus spells cross-references cwd-relative to scripts/
+        # (e.g. sub_agent_path "configs/HighwayEnv/agents/..." in
+        # IntervalRobustPlannerAgent/baseline.json) — resolve against the
+        # shipped scripts directory when the cwd-relative form is absent
+        scripts = Path(__file__).resolve().parent.parent / "scripts"
+        if (scripts / path).is_file():
+            path = scripts / path
+    return load_json_config(path)
 
 
 def load_agent(agent_config: Dict | str | Path, env):

@@ -315,12 +315,18 @@ def model_factory(config: dict) -> nn.Module:
             activation=config.get("activation", "RELU"), dtype=dtype)
     elif mtype == "EgoAttentionNetwork":
         att = config.get("attention_layer", {})
+        emb = _layers(config.get("embedding_layer", {}), "layers", (128, 128, 128))
         return EgoAttentionNetwork(
             out=config["out"],
             presence_feature_idx=config.get("presence_feature_idx", 0),
-            embedding_layers=_layers(config.get("embedding_layer", {}), "layers", (128, 128, 128)),
+            embedding_layers=emb,
+            # when unspecified, match the ego embedding width: the attention
+            # concatenates ego/others embeddings, so a partial override like
+            # ExitEnv/agents/DQNAgent.json (embedding_layer only) would
+            # otherwise mix 64- and 128-wide rows (the reference's rec_update
+            # merge has the same latent mismatch)
             others_embedding_layers=_layers(config.get("others_embedding_layer", {}),
-                                            "layers", (128, 128, 128)),
+                                            "layers", emb),
             output_layers=_layers(config.get("output_layer", {}), "layers", (128, 128, 128)),
             feature_size=att.get("feature_size", 128),
             heads=att.get("heads", 4),
