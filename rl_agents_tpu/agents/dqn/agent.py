@@ -263,7 +263,11 @@ class DQNAgent(AbstractStochasticAgent):
             eps_init=float(expl.get("temperature", 1.0)),
             eps_final=float(expl.get("final_temperature", 0.1)),
             eps_tau=float(expl.get("tau", 5000)),
-            n_steps=int(self.config.get("n_steps", 1)))
+            n_steps=int(self.config.get("n_steps", 1)),
+            # throughput knobs (parallel/actor_learner.py): SGD updates per
+            # collected env batch and time-slice minibatch sampling
+            updates_per_step=int(self.config.get("updates_per_step", 1)),
+            sample_mode=str(self.config.get("sample_mode", "uniform")))
         self.key, sub = jax.random.split(self.key)
         state = init_fn(sub)
         done_steps = 0
