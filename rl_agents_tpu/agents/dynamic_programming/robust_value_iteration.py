@@ -36,10 +36,15 @@ class RobustValueIterationAgent(AbstractAgent):
         rewards = np.array([m["reward"] for m in models], dtype=np.float32)
         M, S, A = rewards.shape
         # the corpus spells per-state terminals as single-element rows
-        # ([[0],[0],[1],[1]], FiniteMDPEnv/anti_vi) — flatten to [S]
-        terminals = np.array([np.asarray(m.get("terminal", np.zeros(S)),
-                                         dtype=bool).reshape(-1)[:S]
-                              for m in models], dtype=bool)
+        # ([[0],[0],[1],[1]], FiniteMDPEnv/anti_vi) — flatten and pad to [S]
+        # (same clamping as finite_mdp.params_from_config)
+        def _terminal(m):
+            flat = np.asarray(m.get("terminal", np.zeros(S)), dtype=bool).reshape(-1)
+            out = np.zeros(S, bool)
+            out[:min(S, flat.shape[0])] = flat[:S]
+            return out
+
+        terminals = np.array([_terminal(m) for m in models], dtype=bool)
         if self.mode == "deterministic":
             transitions = transitions.astype(np.int32)
         self.models = BellmanModel(

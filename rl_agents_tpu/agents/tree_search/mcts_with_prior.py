@@ -183,7 +183,7 @@ class MCTSWithPriorPolicyAgent(MCTSAgent):
         import numpy as np
 
         pa = self.prior_agent
-        pa.act(observation)  # re-derives tabular views around the root state
+        root_action = pa.act(observation)  # re-derives tabular views at the root
         A = self.num_actions
         if hasattr(pa, "state_action_value") and hasattr(pa, "mdp") \
                 and hasattr(pa.mdp, "state"):
@@ -193,7 +193,7 @@ class MCTSWithPriorPolicyAgent(MCTSAgent):
             probs = np.exp(z) / np.exp(z).sum()
         else:
             probs = np.full((A,), 0.1 / max(A - 1, 1), np.float32)
-            probs[int(pa.act(observation))] = 0.9
+            probs[int(root_action)] = 0.9
         self._root_prior = jnp.asarray(probs[:A])
 
     def planner_plan(self, env, observation):

@@ -64,9 +64,12 @@ def make_actor_learner(env: FunctionalEnv, model, optimizer,
     E = num_envs
     if sample_mode not in ("uniform", "slices"):
         raise ValueError(f"Unknown sample_mode {sample_mode}")
-    if sample_mode == "slices" and (batch_size % E != 0 or n_steps != 1):
-        raise ValueError("slices sampling needs batch_size % num_envs == 0 "
-                         "and n_steps == 1")
+    if sample_mode == "slices" and (batch_size % E != 0 or n_steps != 1
+                                    or capacity % E != 0):
+        # a misaligned ring wraps writes mid-block, so an E-aligned read
+        # would mix two write steps (same env twice) and bias the tail rows
+        raise ValueError("slices sampling needs batch_size % num_envs == 0, "
+                         "capacity % num_envs == 0 and n_steps == 1")
     contiguous_ring = capacity % E == 0
     obs_shape = env.observation_space.shape
 
@@ -184,16 +187,16 @@ def make_actor_learner(env: FunctionalEnv, model, optimizer,
                          for k in range(K)])
 
                 minibatch = jax.tree.map(take, buffer)
-            elif n_steps == 1:
-                sample_idx = jax.random.randint(ku, (batch_size,), 0,
-                                                jnp.maximum(size, 1))
-                minibatch = jax.tree.map(lambda x: x[sample_idx], buffer)
             else:
                 sample_idx = jax.random.randint(ku, (batch_size,), 0,
                                                 jnp.maximum(size, 1))
-                minibatch = n_step_collapse(buffer, sample_idx,
-                                            jnp.maximum(size, 1),
-                                            n_steps, jnp.float32(gamma), stride=E)
+                if n_steps == 1:
+                    minibatch = jax.tree.map(lambda x: x[sample_idx], buffer)
+                else:
+                    minibatch = n_step_collapse(buffer, sample_idx,
+                                                jnp.maximum(size, 1),
+                                                n_steps, jnp.float32(gamma),
+                                                stride=E)
             grads = jax.grad(loss_fn)(params, state.target_params, minibatch)
             grads = jax.tree.map(lambda g: jnp.clip(g, -1.0, 1.0), grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -43,11 +43,12 @@ def toy_study(args):
                   "transition": [[0, 1, 2], [0, 3, 2], [0, 1, 3], [3, 1, 2]],
                   "reward": [[0, 1, 0.9], [0, 0, 0.9], [0, 1, 0], [0, 1, 0.9]],
                   "terminal": [0, 0, 0, 0], "max_episode_steps": 50}
+    budget = args.budget or 60
     agents = {
         "nominal": {"__class__": "DeterministicPlannerAgent",
-                    "budget": args.budget, "gamma": 0.9},
+                    "budget": budget, "gamma": 0.9},
         "DROP": {"__class__": "DiscreteRobustPlannerAgent",
-                 "budget": args.budget, "gamma": 0.9, "models": []},
+                 "budget": budget, "gamma": 0.9, "models": []},
     }
     for name, config in agents.items():
         for seed in range(args.seeds):
@@ -77,7 +78,7 @@ def merge_study(args):
             from rl_agents_tpu.factory import load_agent_config
 
             agent_config = load_agent_config(configs.parent / agent_path)
-            if args.budget:
+            if args.budget is not None:  # default: the corpus's own budgets
                 agent_config["budget"] = args.budget
             a_name = Path(agent_path).stem
             e_name = Path(env_path).stem
@@ -89,7 +90,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--study", default="toy", choices=("toy", "merge"))
     parser.add_argument("--seeds", type=int, default=5)
-    parser.add_argument("--budget", type=int, default=60)
+    # None = keep each corpus agent's own budget in --study merge
+    parser.add_argument("--budget", type=int, default=None)
     parser.add_argument("--horizon", type=int, default=20)
     parser.add_argument("--out", default="out/robust")
     args = parser.parse_args()

@@ -32,7 +32,7 @@ def _family_env(family: Path):
     candidates = sorted(family.glob("env*.json")) + sorted(
         p for p in family.glob("*.json") if not p.name.startswith("env"))
     for cand in candidates:
-        cfg = json.load(open(cand))
+        cfg = json.loads(cand.read_text())
         if isinstance(cfg, dict) and cfg.get("id") in ENV_REGISTRY:
             env = load_environment(cfg)
             env.reset(seed=0)
@@ -40,17 +40,16 @@ def _family_env(family: Path):
     return None
 
 
-def _agent_paths():
-    for family in sorted(d for d in ROOT.iterdir() if d.is_dir()):
-        for path in sorted(family.rglob("*.json")):
-            rel = str(path.relative_to(ROOT))
-            if rel in DEAD or rel in NEEDS_ARTIFACT:
-                continue
-            if path.name.startswith("env") or "benchmark" in path.name:
-                continue
-            cfg = json.load(open(path))
-            if "__class__" in cfg or "base_config" in cfg:
-                yield rel
+def _agent_paths(family: Path):
+    for path in sorted(family.rglob("*.json")):
+        rel = str(path.relative_to(ROOT))
+        if rel in DEAD or rel in NEEDS_ARTIFACT:
+            continue
+        if path.name.startswith("env") or "benchmark" in path.name:
+            continue
+        cfg = json.loads(path.read_text())
+        if "__class__" in cfg or "base_config" in cfg:
+            yield rel
 
 
 @pytest.mark.parametrize("family", sorted(
@@ -60,7 +59,7 @@ def test_family_agents_construct(family):
     if env is None:
         pytest.skip(f"{family}: no functional env id in the family")
     failures = []
-    for rel in (r for r in _agent_paths() if Path(r).parts[0] == family):
+    for rel in _agent_paths(ROOT / family):
         e = load_environment(ROOT / VARIANT_ENV[rel]) if rel in VARIANT_ENV else env
         try:
             load_agent(load_json_config(ROOT / rel), e)

@@ -87,9 +87,7 @@ def test_robust_merge_study(tmp_path, monkeypatch):
         ["planners_robust_evaluation.py", "--study", "merge", "--seeds", "1",
          "--budget", "15", "--horizon", "4", "--out", str(tmp_path)])
     study.main()
-    lines = (tmp_path / "data.csv").read_text().splitlines() \
-        if (tmp_path / "data.csv").exists() \
-        else (tmp_path / "results.csv").read_text().splitlines()
+    lines = (tmp_path / "results.csv").read_text().splitlines()
     assert lines[0] == "agent,environment,mean_return,std_return"
     rows = [ln.split(",") for ln in lines[1:]]
     # 3 unique agents x 2 envs, finite returns
