@@ -371,7 +371,7 @@ def bench_dqn_fused(num_envs=128, steps=2000):
                         num_envs, steps, capacity=50_048, batch_size=100)
 
 
-def bench_dqn_ego_attention(num_envs=64, steps=100):
+def bench_dqn_ego_attention(num_envs=64, steps=400):
     """Flagship EgoAttentionNetwork fused learner on the functional highway
     env (BASELINE configs 4-5 recipe: ego_attention.json) — the matmul-heavy
     workload whose MFU answers 'is the learner actually fast'."""
@@ -406,7 +406,10 @@ def bench_ego_attention_train(num_envs=None, steps=None, batch_size=None,
     import optax
 
     num_envs = num_envs or (64 if _CPU_FALLBACK else 1024)
-    steps = steps or (4 if _CPU_FALLBACK else 24)
+    # 48-step segments: 24-step walls still sat close enough to dispatch
+    # noise to swing the rate -30% run-to-run (measured: 48 steps gives
+    # 14.3-15.0M samples/s across runs, 24 steps 8.7-12.4M)
+    steps = steps or (4 if _CPU_FALLBACK else 48)
     batch_size = batch_size or (128 if _CPU_FALLBACK else 8192)
     env = HighwayEnv(vehicles=15, lanes=4, max_episode_steps=40)
     model = EgoAttentionNetwork(out=5, embedding_layers=(64, 64),
