@@ -371,10 +371,11 @@ def bench_dqn_fused(num_envs=128, steps=2000):
                         num_envs, steps, capacity=50_048, batch_size=100)
 
 
-def bench_dqn_ego_attention(num_envs=64, steps=400):
+def bench_dqn_ego_attention(num_envs=64, steps=None):
     """Flagship EgoAttentionNetwork fused learner on the functional highway
     env (BASELINE configs 4-5 recipe: ego_attention.json) — the matmul-heavy
     workload whose MFU answers 'is the learner actually fast'."""
+    steps = steps or (40 if _CPU_FALLBACK else 400)
     from rl_agents_tpu.envs.highway import HighwayEnv
     from rl_agents_tpu.models import EgoAttentionNetwork
 
