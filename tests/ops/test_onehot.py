@@ -96,3 +96,29 @@ def test_bool_and_int_select():
         for i in range(N):
             got = select_row(arr, onehot(jnp.int32(i), N))
             assert np.asarray(got) == np.asarray(arr)[i], (dtype, i)
+
+
+def test_select_action_values_matches_take_along_axis():
+    """The DQN-family Q-select (docs/onehot.md: take_along_axis was 70% of a
+    bf16 EgoAttention update) is exact vs the gather form, incl. leading
+    batch dims and under grad."""
+    import jax
+
+    from rl_agents_tpu.ops.onehot import select_action_values
+
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (64, 5))
+    a = jax.random.randint(key, (64,), 0, 5)
+    expect = jnp.take_along_axis(q, a[:, None], axis=1)[:, 0]
+    np.testing.assert_array_equal(np.asarray(select_action_values(q, a)),
+                                  np.asarray(expect))
+    # leading batch dims broadcast through the ellipsis contract
+    q3 = jax.random.normal(key, (4, 8, 3))
+    a3 = jax.random.randint(key, (4, 8), 0, 3)
+    expect3 = jnp.take_along_axis(q3, a3[..., None], axis=-1)[..., 0]
+    np.testing.assert_array_equal(np.asarray(select_action_values(q3, a3)),
+                                  np.asarray(expect3))
+    # gradient flows only into the selected entries
+    g = jax.grad(lambda qq: jnp.sum(select_action_values(qq, a)))(q)
+    onehot_mask = (a[:, None] == jnp.arange(5)).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(onehot_mask))
