@@ -328,6 +328,33 @@ def bench_gbop_highway(expansions=12):
                                  bytes_ / 2 if bytes_ else None, 1.0 / dt, n_exp)
 
 
+def bench_gbop_stochastic_highway(episodes=8, horizon=4):
+    """Stochastic GBOP (KL confidence sets + constrained max-expectation
+    backups) at 512 trees on highway — the heaviest per-sample planner math
+    in the library (reference: graph_based_stochastic.py:15-361); reported
+    as oracle sample-steps/s."""
+    from rl_agents_tpu.agents.tree_search.batch import gbop_stochastic_plan_batch
+    from rl_agents_tpu.envs.highway import HighwayEnv
+
+    env = HighwayEnv(vehicles=15, lanes=4, max_episode_steps=40)
+    params = env.default_params()
+    Bg = min(B, 512)
+    keys = jax.random.split(jax.random.PRNGKey(3), Bg)
+    states0, obs0 = jax.vmap(env.reset, in_axes=(None, 0))(params, keys)
+
+    def step(c):
+        ks = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, c.astype(jnp.int32))
+        a, _ = gbop_stochastic_plan_batch(
+            env, params, states0, obs0, ks, num_actions=5, episodes=episodes,
+            horizon=horizon, gamma=GAMMA, accuracy=1e-2,
+            reward_threshold_coeff=2.0, transition_threshold_coeff=2.0)
+        return jnp.sum(a).astype(jnp.float32) * 1e-9
+
+    dt, flops, bytes_ = chained_seconds_per_op(step, reps=2)
+    n = Bg * episodes * horizon
+    return n / dt, _roofline(flops, bytes_, 1.0 / dt, n)
+
+
 def _bench_fused(env, model, num_envs, steps, **kwargs):
     """Shared fused actor-learner timing: env-steps/s + roofline."""
     import optax
@@ -665,6 +692,8 @@ def main():
     for name, fn in [("mcts_highway_steps_per_sec", bench_mcts_highway),
                      ("opd_highway_expansions_per_sec", bench_opd_highway),
                      ("gbop_highway_expansions_per_sec", bench_gbop_highway),
+                     ("gbop_stochastic_sample_steps_per_sec",
+                      bench_gbop_stochastic_highway),
                      ("dqn_fused_env_steps_per_sec", bench_dqn_fused),
                      ("dqn_ego_attention_env_steps_per_sec",
                       bench_dqn_ego_attention),
