@@ -194,9 +194,13 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
             # arena [N, ...], new [A, ...] -> one masked rewrite. The f32
             # round-trip is exact for every state dtype here (bool 0/1,
             # small ints, f32), and exactly one P[n, :] entry is hot per row.
+            # HIGHEST precision keeps the 0/1 selection exact on TPU (the
+            # default matmul precision computes f32 dots in bf16, which
+            # would round planner states — e.g. x ~ hundreds of meters).
             extra = (1,) * (arena.ndim - 1)
             placed = jnp.tensordot(P.astype(jnp.float32),
-                                   new.astype(jnp.float32), axes=([1], [0]))
+                                   new.astype(jnp.float32), axes=([1], [0]),
+                                   precision=jax.lax.Precision.HIGHEST)
             return jnp.where(row_new.reshape((N,) + extra),
                              placed.astype(arena.dtype), arena)
 

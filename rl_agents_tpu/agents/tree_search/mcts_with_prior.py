@@ -188,9 +188,15 @@ class MCTSWithPriorPolicyAgent(MCTSAgent):
         if hasattr(pa, "state_action_value") and hasattr(pa, "mdp") \
                 and hasattr(pa.mdp, "state"):
             q = np.asarray(pa.state_action_value[int(pa.mdp.state)], np.float32)
-            z = q / max(self._temperature, 1e-6)
-            z -= z.max()
-            probs = np.exp(z) / np.exp(z).sum()
+            if np.all(np.isfinite(q)):
+                z = q / max(self._temperature, 1e-6)
+                z -= z.max()
+                probs = np.exp(z) / np.exp(z).sum()
+            else:
+                # a non-finite (or all -inf) Q-row would softmax to NaN
+                # probabilities inside the jitted planner — fall back to
+                # uniform over the action set instead
+                probs = np.full((q.shape[-1],), 1.0 / q.shape[-1], np.float32)
         else:
             probs = np.full((A,), 0.1 / max(A - 1, 1), np.float32)
             probs[int(root_action)] = 0.9

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import importlib
 import json
+import logging
 from pathlib import Path
 from typing import Any, Dict
 
@@ -101,11 +102,24 @@ def load_json_config(path: str | Path) -> Dict:
             # Resolve cwd-independently: prefer child-relative, then search
             # the child's ancestors for the relative path (handles the
             # corpus's "configs/Family/..." spellings), then fall back to cwd.
+            # The ancestor walk stops at the first repo/package root marker
+            # so a same-named path in an unrelated ancestor (e.g. a configs/
+            # dir in $HOME) can never silently win.
+            ancestors = []
+            for anc in path.parents[1:]:
+                ancestors.append(anc)
+                if any((anc / marker).exists()
+                       for marker in ("pyproject.toml", ".git", "setup.py")):
+                    break
             candidates = [path.parent / base_path]
-            candidates += [anc / base_path for anc in path.parents[1:]]
+            candidates += [anc / base_path for anc in ancestors]
             candidates.append(base_path)
             base_path = next((c for c in candidates if c.is_file()),
                              candidates[0])
+            if base_path != candidates[0]:
+                logging.getLogger(__name__).info(
+                    "base_config %s resolved to non-child-relative candidate %s",
+                    config["base_config"], base_path)
         base = load_json_config(base_path)
         del config["base_config"]
         config = rec_update(base, config)

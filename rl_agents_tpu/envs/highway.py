@@ -536,7 +536,11 @@ class HighwayEnv(FunctionalEnv):
             fwd = jnp.maximum(state.speed, 1e-3)
             heading = jnp.arctan2(vy_abs, fwd)
             cols += [jnp.cos(heading), jnp.sin(heading)]
-        rows = P @ jnp.stack(cols, axis=1)
+        # HIGHEST precision: the default TPU matmul computes f32 dots in
+        # bf16, which would round the selected features below the 1e-4
+        # obs_key quantization — the 0/1 permutation matmul must be exact.
+        rows = jnp.matmul(P, jnp.stack(cols, axis=1),
+                          precision=jax.lax.Precision.HIGHEST)
         presence = rows[:, 0]
         # ego row carries absolute features like highway-env
         if self.obs_features >= 7:
@@ -601,7 +605,11 @@ class HighwayEnv(FunctionalEnv):
             heading = jnp.arctan2(vy, jnp.maximum(state.speed, 1e-3))
             feats += [jnp.cos(heading), jnp.sin(heading)]
         stack = jnp.stack(feats[:self.obs_features], axis=0)     # [F, V]
-        return jnp.clip(jnp.einsum("fv,vhw->fhw", stack, cell_f), -1.0, 1.0)
+        # HIGHEST precision: exact f32 accumulation through the 0/1 cell
+        # one-hot (default TPU matmul is bf16 — breaks obs_key quantization)
+        return jnp.clip(jnp.einsum("fv,vhw->fhw", stack, cell_f,
+                                   precision=jax.lax.Precision.HIGHEST),
+                        -1.0, 1.0)
 
     def to_finite_mdp(self, params, state):
         """TTC-grid finite-MDP view (highway-env
@@ -841,7 +849,8 @@ class IntersectionEnv(HighwayEnv):
             cos_h = jnp.where(is_ego_v, 1.0, 0.0)
             feats += [cos_h, 1.0 - cos_h]
         stack = jnp.stack(feats[:self.obs_features], axis=0)
-        return jnp.clip(jnp.einsum("fv,vhw->fhw", stack, cell.astype(jnp.float32)),
+        return jnp.clip(jnp.einsum("fv,vhw->fhw", stack, cell.astype(jnp.float32),
+                                   precision=jax.lax.Precision.HIGHEST),
                         -1.0, 1.0)
 
     def _observe_crossing(self, params, state: HighwayState, ego: int):
@@ -1025,7 +1034,8 @@ class TwoWayEnv(HighwayEnv):
                 jnp.clip(vy / params.obs_scale[3], -1, 1)]
         if self.obs_features >= 7:
             cols += [direction, jnp.zeros_like(vx)]
-        rows = P @ jnp.stack(cols, axis=1)
+        rows = jnp.matmul(P, jnp.stack(cols, axis=1),
+                          precision=jax.lax.Precision.HIGHEST)
         presence = rows[:, 0]
         ego_row = jnp.zeros((rows.shape[1],)).at[0].set(1.0) \
             .at[1].set(state.x[ego] / 1000.0).at[3].set(state.speed[ego] / MAX_SPEED)
@@ -1065,6 +1075,11 @@ def _apply_param_overrides(params: HighwayParams, config: dict) -> HighwayParams
         over["collision_reward"] = config["collision_reward"]
     if "right_lane_reward" in config:
         over["right_lane_reward"] = config["right_lane_reward"]
+    if "left_lane_reward" in config and "right_lane_reward" not in config:
+        # TwoWayEnv stores its left(overtake)-lane bonus in the
+        # right_lane_reward param slot (highway-env TwoWayEnv config key is
+        # left_lane_reward) — map it so the override is not silently dropped
+        over["right_lane_reward"] = config["left_lane_reward"]
     if "high_speed_reward" in config:
         over["high_speed_reward"] = config["high_speed_reward"]
     if over:

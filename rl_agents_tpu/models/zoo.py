@@ -316,17 +316,28 @@ def model_factory(config: dict) -> nn.Module:
     elif mtype == "EgoAttentionNetwork":
         att = config.get("attention_layer", {})
         emb = _layers(config.get("embedding_layer", {}), "layers", (128, 128, 128))
+        # when unspecified, match the ego embedding width: the attention
+        # concatenates ego/others embeddings, so a partial override like
+        # ExitEnv/agents/DQNAgent.json (embedding_layer only) would
+        # otherwise mix 64- and 128-wide rows (the reference's rec_update
+        # merge keeps others at (128,128,128) and crashes on the torch.cat;
+        # see docs/migration.md "EgoAttention embedding defaults"). Reference
+        # checkpoints for such configs therefore cannot exist, but warn so
+        # the shape divergence from the reference default is never silent.
+        others = _layers(config.get("others_embedding_layer", {}), "layers", emb)
+        if "others_embedding_layer" not in config and others != (128, 128, 128):
+            import logging
+            logging.getLogger(__name__).warning(
+                "EgoAttentionNetwork: others_embedding defaults to the ego "
+                "embedding widths %s (reference default is (128, 128, 128), "
+                "which cannot feed a feature_size-%s attention); set "
+                "others_embedding_layer explicitly to silence this.",
+                others, att.get("feature_size", 128))
         return EgoAttentionNetwork(
             out=config["out"],
             presence_feature_idx=config.get("presence_feature_idx", 0),
             embedding_layers=emb,
-            # when unspecified, match the ego embedding width: the attention
-            # concatenates ego/others embeddings, so a partial override like
-            # ExitEnv/agents/DQNAgent.json (embedding_layer only) would
-            # otherwise mix 64- and 128-wide rows (the reference's rec_update
-            # merge has the same latent mismatch)
-            others_embedding_layers=_layers(config.get("others_embedding_layer", {}),
-                                            "layers", emb),
+            others_embedding_layers=others,
             output_layers=_layers(config.get("output_layer", {}), "layers", (128, 128, 128)),
             feature_size=att.get("feature_size", 128),
             heads=att.get("heads", 4),
