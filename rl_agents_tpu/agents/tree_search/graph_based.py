@@ -64,9 +64,11 @@ def _value_iteration_sweeps(graph: Graph, gamma, accuracy, max_sweeps: int = 100
     Bandwidth discipline (this loop is the planner's HBM-traffic hot spot,
     see docs/onehot.md): the child one-hot compare is built INSIDE the sweep
     so XLA fuses broadcast-compare-select-reduce without materializing the
-    [N, A, N] mask (materializing or scan-carrying it streams ~20 MB/sweep
-    at 1024 trees — measured), and BOTH bounds ride one contraction per
-    sweep — lower/upper stacked on a trailing axis."""
+    [N, A, N] mask, and each bound gets its OWN [B, N, A, N] pass — stacking
+    lower/upper on a trailing axis (the r4 form) made the fused intermediate
+    [B, N, A, N, 2], whose size-2 minor dim wrecks the TPU tiling: measured
+    0.945 ms/sweep vs 0.065 ms for two single-bound passes at B=4096, N=64
+    (14.5x; the N>=48 bandwidth cliff in docs/onehot.md was entirely this)."""
     defaults = jnp.stack([jnp.zeros(()), 1.0 / (1.0 - gamma)])  # [2]
     N = graph.children.shape[0]
 
@@ -74,11 +76,13 @@ def _value_iteration_sweeps(graph: Graph, gamma, accuracy, max_sweeps: int = 100
         """vals [N, 2] -> one Bellman application of both bounds."""
         M = graph.children[:, :, None] == jnp.arange(N, dtype=jnp.int32)[None, None, :]
         valid = graph.children >= 0
-        child_vals = jnp.sum(jnp.where(M[:, :, :, None], vals[None, None, :, :], 0.0),
-                             axis=2)                               # [N, A, 2]
-        q = graph.rewards[:, :, None] + gamma * jnp.where(
-            valid[:, :, None], child_vals, defaults[None, None, :])
-        v = jnp.max(q, axis=1)                                     # [N, 2]
+        vs = []
+        for k in range(2):  # lower, upper — one [N, A, N] contraction each
+            child_vals = jnp.sum(jnp.where(M, vals[None, None, :, k], 0.0),
+                                 axis=2)                           # [N, A]
+            q = graph.rewards + gamma * jnp.where(valid, child_vals, defaults[k])
+            vs.append(jnp.max(q, axis=1))
+        v = jnp.stack(vs, axis=1)                                  # [N, 2]
         return jnp.where(graph.expanded[:, None], v, vals)
 
     def cond(carry):

@@ -270,6 +270,14 @@ def max_expectation_under_constraint(f, q, c, eps: float = 1e-2):
     c = jnp.asarray(c, dtype)
     n = q.shape[-1]
 
+    if n == 1:
+        # single-atom support: p must put all mass on the sole atom, and
+        # KL(q||p) = 0 <= c always — the solver is exactly the identity.
+        # Static shape, so this prunes the whole Newton while_loop from the
+        # jitted program (it was the dominant sequential chain of stochastic
+        # GBOP at max_next_states_count=1; see docs/onehot.md).
+        return jnp.ones_like(q)
+
     all_zero = jnp.all(q == 0)
     q = jnp.where(all_zero, jnp.ones_like(q) / n, q)
 
