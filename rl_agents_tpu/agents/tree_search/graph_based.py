@@ -1,7 +1,7 @@
 """Graph-based optimistic planning (deterministic), array-encoded.
 
 Rebuild of the reference planner (tree_search/graph_based.py:12-151): nodes
-are aggregated by observation (a global obs-hash table replaces the
+are aggregated by observation (a dense obs-key array replaces the
 ``planner.nodes`` str-keyed dict, graph_based.py:110-116); each expansion
 simulates every action and records rewards/edges (graph_based.py:39-53);
 value intervals [lower, upper] start at [0, 1/(1-gamma)] and are tightened by
@@ -12,6 +12,23 @@ The reference's queue-based asynchronous backup through parent sets
 expanded nodes until the residual drops below ``accuracy`` — the dense
 formulation the reference itself sketches (graph_based_stochastic.py:272-330),
 which converges to the same fixed point and maps to the hardware.
+
+Loop-structure discipline (the r5 device bisection, docs/onehot.md): at
+4096-tree batch the planner's wall time was NOT in the Bellman math — it was
+the *sequential* control flow. The data-dependent descend ``while_loop``
+(~0.46 ms per lockstep iteration under vmap) and the 5-step hash-table
+insert scan together cost ~48 of the 51 ms/plan-batch. Both are gone:
+
+* descend precomputes each node's greedy action ONCE per round (bounds are
+  frozen during a descent, so the greedy successor map ``f`` is a fixed
+  function) and follows ``f`` from the root for a *fixed* number of hops
+  with unexpanded nodes absorbing — a lax.scan of one-hot selects, no
+  data-dependent trip count;
+* the obs-key hash table is a dense ``keys[N]`` array — at planner arena
+  sizes (N <= a few hundred) an exact [A, N] compare beats linear probing,
+  and all A inserts of a round resolve in ONE parallel pass (first
+  occurrence wins for duplicate keys, fresh keys take consecutive slots in
+  action order — identical node ids to the sequential insert).
 """
 from __future__ import annotations
 
@@ -23,12 +40,12 @@ import jax.numpy as jnp
 
 from rl_agents_tpu.agents.tree_search.common import AbstractTreeSearchAgent
 from rl_agents_tpu.envs.base import FunctionalEnv
-from rl_agents_tpu.ops.hashing import obs_key, table_init, table_lookup_or_insert
-from rl_agents_tpu.ops.onehot import onehot, select_row, select_row_tree, set_row
+from rl_agents_tpu.ops.hashing import obs_key
+from rl_agents_tpu.ops.onehot import onehot, select_row, select_row_tree
 
 
 class Graph(NamedTuple):
-    table: Any         # HashTable: obs key -> node id
+    keys: Any          # [N] uint32 obs key per node slot (valid below `used`)
     expanded: Any      # [N] bool
     value_lower: Any   # [N]
     value_upper: Any   # [N]
@@ -61,14 +78,11 @@ def _q_table(M, valid, rewards, vals, gamma, default):
 def _value_iteration_sweeps(graph: Graph, gamma, accuracy, max_sweeps: int = 100):
     """Masked global Bellman sweeps until residual <= accuracy.
 
-    Bandwidth discipline (this loop is the planner's HBM-traffic hot spot,
-    see docs/onehot.md): the child one-hot compare is built INSIDE the sweep
-    so XLA fuses broadcast-compare-select-reduce without materializing the
-    [N, A, N] mask, and each bound gets its OWN [B, N, A, N] pass — stacking
-    lower/upper on a trailing axis (the r4 form) made the fused intermediate
-    [B, N, A, N, 2], whose size-2 minor dim wrecks the TPU tiling: measured
-    0.945 ms/sweep vs 0.065 ms for two single-bound passes at B=4096, N=64
-    (14.5x; the N>=48 bandwidth cliff in docs/onehot.md was entirely this)."""
+    The child one-hot compare is built INSIDE the sweep so XLA fuses
+    broadcast-compare-select-reduce without materializing the [N, A, N]
+    mask, and each bound gets its OWN [N, A, N] pass — stacking lower/upper
+    on a trailing axis makes the fused intermediate [N, A, N, 2], whose
+    size-2 minor dim wrecks the TPU tiling (docs/onehot.md)."""
     defaults = jnp.stack([jnp.zeros(()), 1.0 / (1.0 - gamma)])  # [2]
     N = graph.children.shape[0]
 
@@ -94,7 +108,9 @@ def _value_iteration_sweeps(graph: Graph, gamma, accuracy, max_sweeps: int = 100
         # two Bellman applications per loop iteration: halves the while_loop
         # per-iteration overhead; bounds converge monotonically to the same
         # accuracy fixed point (the residual check between sweeps only
-        # decides when to stop tightening)
+        # decides when to stop tightening). Chunking 4 sweeps per check was
+        # measured SLOWER at bench shapes (the overshoot sweeps cost more
+        # than the saved iteration overhead, docs/onehot.md).
         mid = sweep(vals)
         new = sweep(mid)
         return new, jnp.max(jnp.abs(new - mid)), it + 2
@@ -102,6 +118,40 @@ def _value_iteration_sweeps(graph: Graph, gamma, accuracy, max_sweeps: int = 100
     vals0 = jnp.stack([graph.value_lower, graph.value_upper], axis=1)
     vals, _, _ = jax.lax.while_loop(cond, body, (vals0, jnp.asarray(jnp.inf), 0))
     return graph._replace(value_lower=vals[:, 0], value_upper=vals[:, 1])
+
+
+def _get_or_insert(keys, used, okeys):
+    """Dense parallel get-or-insert of A obs keys into the node key array.
+
+    Reproduces the sequential action-order insert exactly: an existing key
+    resolves to its node; duplicate new keys within the round share the
+    first occurrence's slot; distinct new keys take consecutive slots from
+    ``used`` in action order (graph_based.py:110-116 semantics).
+
+    Returns (keys, used, node_ids [A], fresh [A], slots [A])."""
+    A = okeys.shape[0]
+    N = keys.shape[0]
+    in_use = jnp.arange(N) < used
+    match = (keys[None, :] == okeys[:, None]) & in_use[None, :]      # [A, N]
+    exists = jnp.any(match, axis=1)
+    existing = jnp.argmax(match, axis=1).astype(jnp.int32)
+    iota = jnp.arange(A)
+    first_of = jnp.argmax(okeys[None, :] == okeys[:, None], axis=1)  # [A]
+    dup = first_of < iota
+    fresh = (~exists) & (~dup)
+    offs = jnp.cumsum(fresh.astype(jnp.int32)) - fresh.astype(jnp.int32)
+    slots = used + offs                                              # [A]
+    node_ids = jnp.where(exists, existing, slots)
+    # duplicates alias the first occurrence's id (one-hot select over A)
+    first_ids = jnp.sum(
+        jnp.where(jnp.arange(A)[None, :] == first_of[:, None],
+                  node_ids[None, :], 0), axis=1)
+    node_ids = jnp.where(dup & ~exists, first_ids, node_ids)
+    P = fresh[None, :] & (jnp.arange(N)[:, None] == slots[None, :])  # [N, A]
+    new_keys = jnp.where(
+        jnp.any(P, axis=1),
+        jnp.sum(jnp.where(P, okeys[None, :], jnp.uint32(0)), axis=1), keys)
+    return new_keys, used + jnp.sum(fresh.astype(jnp.int32)), node_ids, fresh, slots
 
 
 @partial(jax.jit, static_argnames=("env", "num_actions", "expansions",
@@ -112,15 +162,14 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
     A = num_actions
     # round the arena up to a multiple of 8 lanes: the dense [N, A, N]
     # contractions tile much better when the minor dim is aligned (extra
-    # rows are inert — never inserted into the obs table)
+    # rows are inert — never key-matched)
     N = capacity or -((1 + expansions * A) // -8) * 8
     gamma = jnp.float32(gamma)
 
     states = jax.tree.map(
         lambda x: jnp.zeros((N,) + jnp.shape(x), jnp.asarray(x).dtype).at[0].set(x), state0)
-    table, root, _ = table_lookup_or_insert(table_init(2 * N), obs_key(obs0), 0)
     graph = Graph(
-        table=table,
+        keys=jnp.zeros((N,), jnp.uint32).at[0].set(obs_key(obs0)),
         expanded=jnp.zeros((N,), bool),
         value_lower=jnp.zeros((N,)),
         value_upper=jnp.full((N,), 1.0 / (1.0 - gamma)),
@@ -129,68 +178,55 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
         states=states,
         used=jnp.ones((), jnp.int32),
     )
+    # an acyclic optimistic descent visits at most the expanded-node count
+    # (<= expansions) before absorbing at an unexpanded node; cyclic
+    # descents stop wherever the cap lands, and re-expanding an expanded
+    # node is a no-op — the same outcome as the reference's
+    # sampling-timeout bailout (graph_based.py:96-108)
+    walk_len = min(expansions, sampling_timeout)
 
     def descend(graph, k):
         """Optimistic sampling until an unexpanded node (graph_based.py:96-108).
-        Bounds are frozen during a descent, so the dense Q table is computed
-        once and each step is a one-hot row select. The child one-hot is
-        built inline so it fuses into the contraction (never materialized)."""
+
+        Bounds are frozen during a descent, so each node's greedy action —
+        argmax of Q-upper with a uniform random tie-break, one gumbel draw
+        per node per round — defines a fixed successor map ``f`` that the
+        walk follows from the root with unexpanded nodes absorbing. A
+        fixed-length scan of one-hot selects replaces the per-step
+        while_loop (measured ~0.46 ms per lockstep vmapped iteration)."""
         M, valid = _child_matrix(graph.children)
         q_up_all = _q_table(M, valid, graph.rewards, graph.value_upper, gamma,
                             1.0 / (1.0 - gamma))
+        ties = q_up_all == jnp.max(q_up_all, axis=1, keepdims=True)
+        g = jax.random.gumbel(k, (N, A))
+        a_star = jnp.argmax(jnp.where(ties, g, -jnp.inf), axis=1)    # [N]
+        succ = jnp.sum(
+            jnp.where(jnp.arange(A)[None, :] == a_star[:, None],
+                      graph.children, 0), axis=1)                    # [N]
+        f = jnp.where(graph.expanded, succ, jnp.arange(N, dtype=jnp.int32))
 
-        def body(c):
-            node, k, steps = c
-            oh = onehot(node, N)
-            q_upper = select_row(q_up_all, oh)
-            ties = q_upper == jnp.max(q_upper)
-            k, ks = jax.random.split(k)
-            action = jax.random.categorical(ks, jnp.where(ties, 0.0, -jnp.inf))
-            ch_row = select_row(graph.children, oh)
-            child = jnp.sum(jnp.where(jnp.arange(A) == action, ch_row, 0))
-            return child, k, steps + 1
+        def walk(node, _):
+            return jnp.sum(jnp.where(jnp.arange(N) == node, f, 0)), None
 
-        def cond(c):
-            node, k, steps = c
-            return jnp.any(onehot(node, N) & graph.expanded) & (steps < sampling_timeout)
-
-        node, k, _ = jax.lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), k, 0))
-        return node, k
+        node, _ = jax.lax.scan(walk, jnp.zeros((), jnp.int32), None,
+                               length=walk_len)
+        return node
 
     def expand(graph, node):
-        """Simulate all actions; aggregate next states via the obs table
-        (graph_based.py:39-53).
-
-        Bandwidth discipline: the per-action pass touches only the table and
-        scalar carries; the heavy arenas (states [N, ...], rewards/children
-        [N, A]) are each written ONCE per round — the previous per-action
-        masked rewrite streamed the full states arena A times per expansion
-        (docs/onehot.md)."""
+        """Simulate all actions; aggregate next states via the dense key
+        array (graph_based.py:39-53). The heavy arenas (states [N, ...],
+        rewards/children [N, A]) are each written ONCE per round."""
         oh_node = onehot(node, N)
         state = select_row_tree(graph.states, oh_node)
         outs = jax.vmap(env.step, in_axes=(None, None, 0, None))(
             params, state, jnp.arange(A), jnp.zeros((2,), jnp.uint32))
         okeys = jax.vmap(obs_key)(outs.obs)                       # [A]
 
-        def per_action(carry, a):
-            table, used, children_row, news_row = carry
-            okey = jnp.sum(jnp.where(jnp.arange(A) == a, okeys, jnp.uint32(0)))
-            table, child, is_new = table_lookup_or_insert(table, okey, used)
-            children_row = jnp.where(jnp.arange(A) == a, child, children_row)
-            news_row = news_row | ((jnp.arange(A) == a) & is_new)
-            return (table, used + is_new.astype(jnp.int32), children_row,
-                    news_row), None
+        keys, used, children_row, news_row, slots = _get_or_insert(
+            graph.keys, graph.used, okeys)
 
-        (table, used, children_row, news_row), _ = jax.lax.scan(
-            per_action,
-            (graph.table, graph.used, jnp.full((A,), -1, jnp.int32),
-             jnp.zeros((A,), bool)),
-            jnp.arange(A))
-
-        # one placement matrix P[n, a]: action a's next state lands in slot
-        # used_before + (# new actions before a), only when it created a node
-        offsets = jnp.cumsum(news_row.astype(jnp.int32)) - news_row.astype(jnp.int32)
-        slots = graph.used + offsets                              # [A]
+        # one placement matrix P[n, a]: action a's next state lands in its
+        # fresh slot, only when it created a node
         P = news_row[None, :] & (jnp.arange(N)[:, None] == slots[None, :])  # [N, A]
         row_new = jnp.any(P, axis=1)
 
@@ -212,7 +248,7 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
                                   graph.states, outs.state)
         oh_na = oh_node[:, None]  # [N, 1] broadcasts over the action axis
         return graph._replace(
-            table=table,
+            keys=keys,
             states=new_states,
             used=used,
             rewards=jnp.where(oh_na, outs.reward[None, :], graph.rewards),
@@ -221,7 +257,8 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
 
     def round_fn(carry, _):
         graph, k = carry
-        node, k = descend(graph, k)
+        k, kd = jax.random.split(k)
+        node = descend(graph, kd)
         graph = expand(graph, node)
         graph = _value_iteration_sweeps(graph, gamma, accuracy)
         return (graph, k), None

@@ -536,11 +536,14 @@ class HighwayEnv(FunctionalEnv):
             fwd = jnp.maximum(state.speed, 1e-3)
             heading = jnp.arctan2(vy_abs, fwd)
             cols += [jnp.cos(heading), jnp.sin(heading)]
-        # HIGHEST precision: the default TPU matmul computes f32 dots in
-        # bf16, which would round the selected features below the 1e-4
-        # obs_key quantization — the 0/1 permutation matmul must be exact.
-        rows = jnp.matmul(P, jnp.stack(cols, axis=1),
-                          precision=jax.lax.Precision.HIGHEST)
+        # masked reduction, not a matmul: exact f32 selection (the default
+        # TPU matmul computes f32 dots in bf16 — breaks the 1e-4 obs_key
+        # quantization), and at [V, V] x [V, F] sizes the dot form pads each
+        # lane's 15x15x7 product onto 128-wide MXU tiles — measured ~2 ms
+        # per 20480-lane fan vs fused VPU streams for this form.
+        rows = jnp.sum(jnp.where(P[:, :, None] > 0,
+                                 jnp.stack(cols, axis=1)[None, :, :], 0.0),
+                       axis=1)
         presence = rows[:, 0]
         # ego row carries absolute features like highway-env
         if self.obs_features >= 7:
@@ -595,7 +598,6 @@ class HighwayEnv(FunctionalEnv):
         cell = (inside[:, None, None]
                 & (iy[:, None, None] == jnp.arange(Hc)[None, :, None])
                 & (ix[:, None, None] == jnp.arange(Wc)[None, None, :]))
-        cell_f = cell.astype(jnp.float32)                        # [V, H, W]
         feats = [jnp.ones_like(dx),
                  jnp.clip(dx / params.obs_scale[0], -1, 1),
                  jnp.clip(dy / params.obs_scale[1], -1, 1),
@@ -605,11 +607,13 @@ class HighwayEnv(FunctionalEnv):
             heading = jnp.arctan2(vy, jnp.maximum(state.speed, 1e-3))
             feats += [jnp.cos(heading), jnp.sin(heading)]
         stack = jnp.stack(feats[:self.obs_features], axis=0)     # [F, V]
-        # HIGHEST precision: exact f32 accumulation through the 0/1 cell
-        # one-hot (default TPU matmul is bf16 — breaks obs_key quantization)
-        return jnp.clip(jnp.einsum("fv,vhw->fhw", stack, cell_f,
-                                   precision=jax.lax.Precision.HIGHEST),
-                        -1.0, 1.0)
+        # masked reduction through the 0/1 cell one-hot: exact f32 (the
+        # default TPU matmul computes f32 dots in bf16 — breaks obs_key
+        # quantization) and fuses on the VPU instead of padding tiny
+        # per-lane dots onto MXU tiles
+        out = jnp.sum(jnp.where(cell[None, :, :, :],
+                                stack[:, :, None, None], 0.0), axis=1)
+        return jnp.clip(out, -1.0, 1.0)
 
     def to_finite_mdp(self, params, state):
         """TTC-grid finite-MDP view (highway-env
@@ -849,9 +853,9 @@ class IntersectionEnv(HighwayEnv):
             cos_h = jnp.where(is_ego_v, 1.0, 0.0)
             feats += [cos_h, 1.0 - cos_h]
         stack = jnp.stack(feats[:self.obs_features], axis=0)
-        return jnp.clip(jnp.einsum("fv,vhw->fhw", stack, cell.astype(jnp.float32),
-                                   precision=jax.lax.Precision.HIGHEST),
-                        -1.0, 1.0)
+        out = jnp.sum(jnp.where(cell[None, :, :, :],
+                                stack[:, :, None, None], 0.0), axis=1)
+        return jnp.clip(out, -1.0, 1.0)
 
     def _observe_crossing(self, params, state: HighwayState, ego: int):
         """Crossing-geometry kinematics: crossing vehicles' positions are
@@ -1034,8 +1038,9 @@ class TwoWayEnv(HighwayEnv):
                 jnp.clip(vy / params.obs_scale[3], -1, 1)]
         if self.obs_features >= 7:
             cols += [direction, jnp.zeros_like(vx)]
-        rows = jnp.matmul(P, jnp.stack(cols, axis=1),
-                          precision=jax.lax.Precision.HIGHEST)
+        rows = jnp.sum(jnp.where(P[:, :, None] > 0,
+                                 jnp.stack(cols, axis=1)[None, :, :], 0.0),
+                       axis=1)
         presence = rows[:, 0]
         ego_row = jnp.zeros((rows.shape[1],)).at[0].set(1.0) \
             .at[1].set(state.x[ego] / 1000.0).at[3].set(state.speed[ego] / MAX_SPEED)

@@ -77,7 +77,7 @@ def test_gbop_aggregates_states():
     assert action == 1
     # MDP observation includes the step counter, so aggregation happens on
     # (state, t[, done]); nodes must still be far fewer than budget
-    assert int(graph.table.count) <= 60
+    assert int(graph.used) <= 60
     # bounds must be ordered and tightened below the vacuous 1/(1-gamma)
     used = np.asarray(graph.expanded)
     lo = np.asarray(graph.value_lower)[used]
