@@ -39,10 +39,17 @@ Extra metrics reported in the same JSON line:
   - trailblazer_batched_plans_per_sec: 512 lockstep host-orchestrated
     TrailBlazer instances at a fixed oracle budget (dispatches/plan +
     amortization vs a lone instance)
+  - drop_intersection_expansions_per_sec: robust-ensemble OPD (DROP) over a
+    3-model IDM ensemble on the intersection surrogate (BASELINE config 5a)
+  - bftq_fit_states_per_sec: a BFTQ fit epoch — budgeted Bellman targets
+    (S x 10-budget forward + vmapped Pareto hulls + mixtures) + regression
+    (BASELINE config 5b)
   - ego_attention_serving_fwd_per_sec: serving-batch bf16 forward (pure MXU)
-``extra_vs_baseline`` carries measured reference denominators (python OPD
-on gymnasium CartPole; torch DQN on CartPole) for the OPD and fused-DQN
-extras.
+``extra_vs_baseline`` carries measured reference denominators, each the
+reference implementation on its natural substrate (python planners on
+gymnasium CartPole or on the repo's CPU-jitted functional surrogates via
+the handle layer; torch learners on CPU) — covering OPD, fused DQN, MCTS
+highway, GBOP-D, stochastic GBOP, DROP, BFTQ and the EgoAttention learner.
 
 A successful device run persists its JSON to ``BENCH_last_device.json``;
 when the accelerator tunnel is dead the CPU-fallback line attaches that
@@ -355,8 +362,14 @@ def bench_gbop_stochastic_highway(episodes=8, horizon=4):
     return n / dt, _roofline(flops, bytes_, 1.0 / dt, n)
 
 
-def _bench_fused(env, model, num_envs, steps, **kwargs):
-    """Shared fused actor-learner timing: env-steps/s + roofline."""
+def _bench_fused(env, model, num_envs, steps, slope_factor=0, **kwargs):
+    """Shared fused actor-learner timing: env-steps/s + roofline.
+
+    With ``slope_factor`` K > 1, the rate is the SLOPE between a ``steps``
+    segment and a ``K*steps`` segment — (t_long - t_short) / ((K-1)*steps)
+    cancels the tunnel RTT, the state-copy cost AND any per-segment fixed
+    cost, pinning latency-bound recipe metrics that a single-segment wall
+    leaves in a +/-30% jitter band (VERDICT r4 item 6)."""
     import optax
 
     from rl_agents_tpu.parallel.actor_learner import make_actor_learner
@@ -370,13 +383,21 @@ def _bench_fused(env, model, num_envs, steps, **kwargs):
     # first steps and over-credits the SGD-samples rate)
     state_warm, _ = segment_fn(jax.tree.map(jnp.copy, state0), steps=steps)
 
-    def go():
+    def go(n=steps):
         # segment_fn donates its input buffers; hand it a fresh copy per run
         # (on CPU the donated original is actually invalidated)
-        state, _ = segment_fn(jax.tree.map(jnp.copy, state_warm), steps=steps)
+        state, _ = segment_fn(jax.tree.map(jnp.copy, state_warm), steps=n)
         return float(jax.tree.leaves(state.params)[0].sum())
 
-    dt = max(_wall_median(go) - _tunnel_rtt(), 1e-9)
+    if slope_factor and slope_factor > 1:
+        long_steps = slope_factor * steps
+        go(long_steps)  # compile the long bucket outside the timed window
+        t_short = _wall_median(go)
+        t_long = _wall_median(lambda: go(long_steps))
+        per_step = max((t_long - t_short) / (long_steps - steps), 1e-12)
+        dt = per_step * steps
+    else:
+        dt = max(_wall_median(go) - _tunnel_rtt(), 1e-9)
     env_steps = steps * num_envs
     return env_steps / dt, _roofline(flops, bytes_, 1.0 / dt, env_steps, mfu=True)
 
@@ -409,8 +430,10 @@ def bench_dqn_ego_attention(num_envs=64, steps=None):
     model = EgoAttentionNetwork(out=5, embedding_layers=(64, 64),
                                 others_embedding_layers=(64, 64),
                                 output_layers=(64,), feature_size=64, heads=4)
+    # slope over 400- vs 1200-step segments: cancels RTT + per-segment fixed
+    # costs, pinning this latency-bound recipe metric (VERDICT r4 item 6)
     return _bench_fused(HighwayEnv(vehicles=15, lanes=4, max_episode_steps=40),
-                        model, num_envs, steps,
+                        model, num_envs, steps, slope_factor=3,
                         capacity=10_240, batch_size=64)  # aligned ring
 
 
@@ -485,7 +508,86 @@ def bench_ego_attention_train(num_envs=None, steps=None, batch_size=None,
         roof.update(sgd_batch=batch_size, updates_per_step=updates_per_step,
                     env_batch=num_envs, env_steps_per_sec=round(env_steps_rate),
                     flop_count="standalone cond-free update executable")
+        try:
+            roof["decomposition"] = _train_mfu_decomposition(
+                model, opt, params, x, acts, update, flops_update,
+                batch_size, updates_per_step, sgd_samples_rate)
+        except Exception as e:  # pragma: no cover
+            _log(f"train decomposition failed: {e}")
     return sgd_samples_rate, roof
+
+
+def _train_mfu_decomposition(model, opt, params, x, acts, update, flops_update,
+                             batch_size, updates_per_step, sgd_samples_rate):
+    """VERDICT r5 item 3: where does the train-vs-serving MFU gap live?
+
+    Chained-timing of the update's components at the exact training shapes
+    (bf16 activations, batch ``batch_size``): the full grad+adam update, the
+    optimizer application alone, and the inference forward; the residual of
+    the fused-loop step over ``updates_per_step`` updates is the env
+    collection + replay-sampling share the RL recipe requires."""
+    import optax
+
+    reps = 8 if _CPU_FALLBACK else 64
+    opt_state0 = opt.init(params)
+
+    # full update, params-chained
+    @jax.jit
+    def many_updates():
+        def body(carry, _):
+            p, o = carry
+            p, o = update(p, o, x, acts, jnp.zeros((batch_size,)), x)
+            return (p, o), None
+        (p, _), _ = jax.lax.scan(body, (params, opt_state0), None, length=reps)
+        return jnp.sum(jax.tree.leaves(p)[0]).astype(jnp.float32)
+
+    t_update = max((_wall_median(lambda: float(many_updates()))
+                    - _tunnel_rtt()) / reps, 1e-9)
+
+    # optimizer-only (adam moments + apply), grads fixed, state-chained
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    @jax.jit
+    def many_opt():
+        def body(carry, _):
+            p, o = carry
+            u, o = opt.update(grads, o, p)
+            return (optax.apply_updates(p, u), o), None
+        (p, _), _ = jax.lax.scan(body, (params, opt_state0), None, length=reps)
+        return jnp.sum(jax.tree.leaves(p)[0]).astype(jnp.float32)
+
+    t_opt = max((_wall_median(lambda: float(many_opt())) - _tunnel_rtt())
+                / reps, 1e-9)
+
+    # forward-only at the training batch (the 3 forwards of the loss are
+    # the update's matmul core alongside the backward)
+    @jax.jit
+    def many_fwd():
+        def body(c, _):
+            y = model.apply(params, x * (1.0 + c * 1e-6).astype(x.dtype))
+            return jnp.sum(y).astype(jnp.float32) * 1e-6, None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+        return c
+
+    t_fwd = max((_wall_median(lambda: float(many_fwd())) - _tunnel_rtt())
+                / reps, 1e-9)
+
+    peak = _peak_flops()
+    t_fused_step = batch_size * updates_per_step / sgd_samples_rate
+    t_updates = updates_per_step * t_update
+    t_collect_residual = max(t_fused_step - t_updates, 0.0)
+    return {
+        "update_ms": round(t_update * 1e3, 4),
+        "optimizer_ms": round(t_opt * 1e3, 4),
+        "forward_ms": round(t_fwd * 1e3, 4),
+        "fused_step_ms": round(t_fused_step * 1e3, 4),
+        "updates_share": round(t_updates / t_fused_step, 4),
+        "collect_replay_residual_share": round(
+            t_collect_residual / t_fused_step, 4),
+        "optimizer_share_of_update": round(t_opt / t_update, 4),
+        "update_only_mfu_vs_bf16_peak": (
+            round(flops_update / t_update / peak, 5) if peak else None),
+    }
 
 
 def bench_trailblazer_batched(batch=None, oracle_budget=500):
@@ -575,6 +677,116 @@ def bench_ego_attention_serving(batch=16384):
     return batch / dt, _roofline(flops, bytes_, 1.0 / dt, batch, mfu=True)
 
 
+def bench_drop_intersection(expansions=10, models=3):
+    """DROP — robust-ensemble OPD (BASELINE config 5a) at B trees on the
+    intersection surrogate: every expansion steps all A actions x M model
+    variants in lockstep and node bounds aggregate with min over the model
+    axis (reference: robust/robust.py:9-71). Reported as expansions/s."""
+    from rl_agents_tpu.agents.robust.robust import robust_opd_plan
+    from rl_agents_tpu.envs.highway import IntersectionEnv
+
+    env = IntersectionEnv(vehicles=8, max_episode_steps=26)
+    base = env.default_params()
+    # nominal / aggressive / defensive IDM ensembles (behavior presets)
+    presets = [{}, dict(idm_a=4.5, idm_b=6.0, idm_t0=0.8, idm_s0=5.0),
+               dict(idm_a=2.0, idm_b=4.0, idm_t0=2.2, idm_s0=15.0)][:models]
+    variants = [base._replace(**{k: jnp.float32(v) for k, v in p.items()})
+                for p in presets]
+    params_ens = jax.tree.map(lambda *xs: jnp.stack(xs), *variants)
+    Bd = min(B, 1024)
+    keys = jax.random.split(jax.random.PRNGKey(4), Bd)
+    states0, _ = jax.vmap(env.reset, in_axes=(None, 0))(base, keys)
+    statesM = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[:, None], (Bd, models) + x.shape[1:]), states0)
+    A = env.action_space.n
+
+    def step(c):
+        ks = jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, c.astype(jnp.int32))
+        a, _, _ = jax.vmap(robust_opd_plan,
+                           in_axes=(None, None, 0, 0) + (None,) * 5)(
+            env, params_ens, statesM, ks, A, models, expansions, GAMMA, 0.0)
+        return jnp.sum(a).astype(jnp.float32) * 1e-9
+
+    dt, flops, bytes_ = chained_seconds_per_op(step, reps=REPS)
+    n_exp = Bd * expansions
+    roof = _roofline(flops, bytes_, 1.0 / dt, n_exp)
+    if roof is not None:
+        roof.update(trees=Bd, models=models, actions=A)
+    return n_exp / dt, roof
+
+
+def bench_bftq_fit(n_states=None, regression_epochs=50):
+    """BFTQ fit epoch (BASELINE config 5b): budgeted Bellman targets
+    (forward over the S x B state-budget product + vmapped Pareto hulls +
+    optimal mixtures, reference bftq.py:190-250) followed by the regression
+    fit (bftq.py:252-305), on intersection-shaped transitions. Reported as
+    states/s through the full epoch."""
+    import numpy as np
+    import optax
+
+    from rl_agents_tpu.agents.budgeted_ftq.bftq import BFTQBatch, BudgetedFittedQ
+    from rl_agents_tpu.agents.budgeted_ftq.models import BudgetedMLP
+
+    S = n_states or (256 if _CPU_FALLBACK else 4096)
+    D, A, NB = 15 * 5, 3, 10  # flattened intersection kinematics obs, SLOWER/IDLE/FASTER
+    rng = np.random.default_rng(0)
+    batch = BFTQBatch(
+        state=jnp.asarray(rng.normal(size=(S, D)).astype(np.float32)),
+        action=jnp.asarray(rng.integers(0, A, S).astype(np.int32)),
+        reward=jnp.asarray(rng.uniform(size=S).astype(np.float32)),
+        next_state=jnp.asarray(rng.normal(size=(S, D)).astype(np.float32)),
+        terminal=jnp.asarray(rng.uniform(size=S) < 0.05),
+        cost=jnp.asarray((rng.uniform(size=S) < 0.1).astype(np.float32)),
+        beta=jnp.asarray(rng.uniform(size=S).astype(np.float32)),
+    )
+    net = BudgetedMLP(size_state=D, n_actions=A, layers=(64, 64))
+    bftq = BudgetedFittedQ(net, {
+        "gamma": 0.9, "gamma_c": 0.9, "betas_for_duplication": [],
+        "betas_for_discretisation": f"np.linspace(0, 1, {NB})",
+        "loss_function": "l2", "loss_function_c": "l2",
+        "weights_losses": [1.0, 1.0], "epochs": 1,
+        "regression_epochs": regression_epochs, "clamp_qc": None,
+        "reset_network_each_epoch": False,
+        "optimizer": {"type": "ADAM", "learning_rate": 1e-3},
+    })
+    bftq.optimizer = optax.adam(1e-3)
+    bftq.opt_state = bftq.optimizer.init(bftq.params)
+    bftq._fit_fn = bftq._make_fit(bftq.optimizer, regression_epochs)
+    betas_disc = bftq.betas_for_discretisation
+    sb = jnp.concatenate([batch.state, batch.beta[:, None]], axis=1)
+
+    params0, opt0 = bftq.params, bftq.opt_state
+
+    @jax.jit
+    def epoch(params, opt_state):
+        tr, tc = bftq._compute_targets(params, batch, betas_disc,
+                                       jnp.asarray(True))
+        params, opt_state, losses = bftq._fit_fn(params, opt_state, sb,
+                                                 batch.action, tr, tc)
+        return params, opt_state, losses[-1]
+
+    flops, bytes_ = _cost(epoch.lower(params0, opt0).compile())
+
+    reps = 2 if _CPU_FALLBACK else 8
+
+    @jax.jit
+    def many():
+        def step(carry, _):
+            params, opt_state = carry
+            params, opt_state, _ = epoch(params, opt_state)
+            return (params, opt_state), None
+        (params, _), _ = jax.lax.scan(step, (params0, opt0), None, length=reps)
+        return jnp.sum(jax.tree.leaves(params)[0]).astype(jnp.float32)
+
+    tr_wall = _wall_median(lambda: float(many()))
+    dt = max((tr_wall - _tunnel_rtt()) / reps, 1e-9)
+    roof = _roofline(flops, bytes_, 1.0 / dt, S)
+    if roof is not None:
+        roof.update(states=S, betas=NB, regression_epochs=regression_epochs,
+                    state_dim=D)
+    return S / dt, roof
+
+
 def _bootstrap_reference():
     sys.path.insert(0, "/root/reference")
     import types
@@ -586,6 +798,382 @@ def _bootstrap_reference():
         numba = types.ModuleType("numba")
         numba.jit = lambda *a, **k: (lambda f: f)
         sys.modules["numba"] = numba
+
+
+def _cpu_highway_handle(env_cls, **kwargs):
+    """An EnvHandle over a functional surrogate whose jitted step runs on the
+    HOST CPU — the reference planners' natural in-process substrate (a
+    tunnel-dispatched step would bill them ~27 ms of RTT per call)."""
+    from rl_agents_tpu.envs.base import EnvHandle
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        env = env_cls(**kwargs)
+        handle = EnvHandle(env, env.default_params())
+        handle.reset(seed=0)
+    return handle
+
+
+class _GeneratorShim:
+    """Old RandomState spelling over the Generator the reference seeds
+    (e.g. graph_based_stochastic.py:239 calls np_random.randint)."""
+
+    def __init__(self, gen):
+        self._gen = gen
+
+    def randint(self, n):
+        return self._gen.integers(n)
+
+    def __getattr__(self, name):
+        return getattr(self._gen, name)
+
+
+class _FourTupleEnv:
+    """Pre-truncation gym API adapter: several reference planners unpack
+    4-tuples from env.step (e.g. graph_based.py:47)."""
+
+    def __init__(self, handle):
+        self._h = handle
+
+    def step(self, action):
+        obs, reward, term, trunc, _ = self._h.step(action)
+        return obs, reward, term or trunc, {}
+
+    def __getattr__(self, name):
+        return getattr(self._h, name)
+
+
+def bench_reference_mcts_highway(trials=2):
+    """Reference python MCTS on the repo's functional highway surrogate via
+    the handle layer (CPU-jitted steps, in-process), same budget/temperature
+    as the fused metric — env-steps/s."""
+    _bootstrap_reference()
+    from rl_agents.agents.tree_search.mcts import MCTS, MCTSAgent
+
+    from rl_agents_tpu.envs.highway import HighwayEnv
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        handle = _cpu_highway_handle(HighwayEnv, vehicles=15, lanes=4,
+                                     max_episode_steps=40)
+        planner = MCTS(handle, MCTSAgent.random_policy, MCTSAgent.random_policy,
+                       {"budget": EPISODES * HORIZON, "gamma": GAMMA,
+                        "temperature": TEMPERATURE, "horizon": None,
+                        "closed_loop": False})
+        planner.seed(0)
+        planner.step_by_reset()
+        planner.plan(state=handle.fork(), observation=None)  # warm-up
+        planner.observations = []
+        steps = 0
+        t0 = time.time()
+        for _ in range(trials):
+            planner.step_by_reset()
+            planner.plan(state=handle.fork(), observation=None)
+            steps += len(planner.observations)
+            planner.observations = []
+        dt = time.time() - t0
+    return steps / dt
+
+
+def bench_reference_gbop_highway(trials=2, expansions=12):
+    """Reference python GBOP-D (str-keyed node dict + queue-based partial VI,
+    graph_based.py:12-151) on the repo's functional highway surrogate via
+    the handle layer (CPU-jitted steps) — expansions/s."""
+    _bootstrap_reference()
+    from rl_agents.agents.tree_search.graph_based import GraphBasedPlanner
+
+    from rl_agents_tpu.envs.highway import HighwayEnv
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        handle = _cpu_highway_handle(HighwayEnv, vehicles=15, lanes=4,
+                                     max_episode_steps=40)
+        obs0 = handle.reset(seed=0)[0]
+        planner = GraphBasedPlanner(handle, {
+            "budget": expansions * 5, "gamma": GAMMA, "accuracy": 1e-2,
+            "sampling_timeout": 100, "step_strategy": "reset"})
+        planner.seed(0)
+        planner.plan(state=_FourTupleEnv(handle.fork()), observation=obs0)
+        t0 = time.time()
+        for _ in range(trials):
+            planner.nodes = {}
+            planner.updates_count.clear()
+            planner.plan(state=_FourTupleEnv(handle.fork()), observation=obs0)
+        dt = time.time() - t0
+    return trials * expansions / dt
+
+
+def bench_reference_gbop_stochastic_highway(trials=2, episodes=8, horizon=4):
+    """Reference python stochastic GBOP on the repo's functional highway
+    surrogate — sample-steps/s. The reference's ``compute_reward_ucb`` is
+    broken as shipped (passes a leftover positional into the new
+    kl_upper_bound signature, graph_based_stochastic.py:75-84 — a TypeError
+    on every run); the intended call is patched in, exactly as the
+    equivalence test documents (test_family_equivalence.py)."""
+    _bootstrap_reference()
+    from rl_agents.agents.tree_search import graph_based_stochastic as ref_mod
+    from rl_agents.agents.tree_search.graph_based_stochastic import (
+        StochasticGraphBasedPlanner,
+    )
+    from rl_agents.utils import kl_upper_bound
+
+    from rl_agents_tpu.envs.highway import HighwayEnv
+
+    def fixed_compute_reward_ucb(self):
+        time_ = self.planner.config["episodes"]  # noqa: F841 (eval context)
+        threshold = eval(self.planner.config["upper_bound"]["threshold"],
+                         {"np": __import__("numpy"), "time": time_})
+        if threshold == 0:
+            self.mu_ucb = self.mu_lcb = self.cumulative_reward / self.count
+        else:
+            self.mu_ucb = kl_upper_bound(self.cumulative_reward, self.count,
+                                         threshold=threshold)
+            self.mu_lcb = kl_upper_bound(self.cumulative_reward, self.count,
+                                         threshold=threshold, lower=True)
+
+    ref_mod.GraphDecisionNode.compute_reward_ucb = fixed_compute_reward_ucb
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        handle = _cpu_highway_handle(HighwayEnv, vehicles=15, lanes=4,
+                                     max_episode_steps=40)
+        obs0 = handle.reset(seed=0)[0]
+        planner = StochasticGraphBasedPlanner(handle, {
+            "budget": episodes * horizon, "episodes": episodes,
+            "horizon": horizon, "gamma": GAMMA, "accuracy": 1e-2,
+            "sampling_timeout": 100, "max_next_states_count": 1,
+            "step_strategy": "reset",
+            "upper_bound": {"type": "kullback-leibler", "time": "global",
+                            "threshold": "2*np.log(time)",
+                            "transition_threshold": "2*np.log(time)"}})
+        planner.seed(0)
+        planner.np_random = _GeneratorShim(planner.np_random)
+        planner.plan(state=_FourTupleEnv(handle.fork()), observation=obs0)
+        t0 = time.time()
+        for _ in range(trials):
+            planner.nodes = {}
+            planner.plan(state=_FourTupleEnv(handle.fork()), observation=obs0)
+        dt = time.time() - t0
+    return trials * episodes * horizon / dt
+
+
+def bench_reference_drop_intersection(trials=2, expansions=10, models=3):
+    """Reference DROP — DiscreteRobustPlanner over a joint env of M model
+    variants (robust/robust.py:9-71) on the repo's functional intersection
+    surrogate — expansions/s. The reference's own JointEnv returns gym
+    4-tuples which its updated DeterministicNode no longer unpacks
+    (deterministic.py:41); this adapter restores the 5-tuple its planner
+    expects, preserving JointEnv semantics."""
+    import numpy as np
+
+    _bootstrap_reference()
+    from rl_agents.agents.robust.robust import DiscreteRobustPlanner
+
+    from rl_agents_tpu.envs.base import EnvHandle
+    from rl_agents_tpu.envs.highway import IntersectionEnv
+
+    class JointEnv5:
+        def __init__(self, handles):
+            self.joint_state = handles
+
+        def step(self, action):
+            outs = [h.step(action) for h in self.joint_state]
+            obs, rewards, terms, truncs, infos = zip(*outs)
+            return (obs, np.array(rewards), np.array(terms),
+                    np.array(truncs), infos)
+
+        @property
+        def action_space(self):
+            return self.joint_state[0].action_space
+
+        def get_available_actions(self):
+            return list(range(self.action_space.n))
+
+    presets = [{}, dict(idm_a=4.5, idm_b=6.0, idm_t0=0.8, idm_s0=5.0),
+               dict(idm_a=2.0, idm_b=4.0, idm_t0=2.2, idm_s0=15.0)][:models]
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        handles = []
+        for preset in presets:
+            env = IntersectionEnv(vehicles=8, max_episode_steps=26)
+            params = env.default_params()._replace(
+                **{k: jnp.float32(v) for k, v in preset.items()})
+            h = EnvHandle(env, params)
+            h.reset(seed=0)
+            handles.append(h)
+        A = handles[0].action_space.n
+        joint = JointEnv5([h.fork() for h in handles])
+        planner = DiscreteRobustPlanner(joint, {
+            "budget": expansions * A, "gamma": GAMMA, "step_strategy": "reset",
+            "terminal_reward": 0})
+        planner.seed(0)
+
+        def one_plan():
+            planner.reset()
+            planner.plan(state=JointEnv5([h.fork() for h in handles]),
+                         observation=None)
+
+        one_plan()  # warm-up
+        t0 = time.time()
+        for _ in range(trials):
+            one_plan()
+        dt = time.time() - t0
+    return trials * expansions / dt
+
+
+def bench_reference_bftq_fit(n_states=None, regression_epochs=50):
+    """Reference BFTQ epoch — torch forward over the S x B product, the
+    Pool/scipy-qhull Pareto frontier per state, optimal mixtures, then the
+    regression fit (bftq.py:150-305) — states/s on CPU, its natural
+    substrate. Frontier plotting (instrumentation, not algorithm) is
+    stubbed out."""
+    import numpy as np
+    import torch
+
+    _bootstrap_reference()
+    from rl_agents.agents.budgeted_ftq import bftq as ref_bftq_mod
+    from rl_agents.agents.budgeted_ftq.bftq import BudgetedFittedQ
+    from rl_agents.agents.budgeted_ftq.models import BudgetedMLP
+
+    ref_bftq_mod.plot_frontier = lambda *a, **k: None
+    ref_bftq_mod.plot_values_histograms = lambda *a, **k: None
+
+    def boostrap_next_values(self, next_states, betas, terminals):
+        """Faithful copy of bftq.py:150-188 with ONE fix: current torch
+        rejects assigning numpy.float32 into a FloatTensor (the reference
+        predates that), so the mixture expectations are cast to float.
+        Same forwards, hulls and mixtures — the timed workload is unchanged."""
+        next_rewards = torch.zeros(len(next_states), device=self.device)
+        next_costs = torch.zeros(len(next_states), device=self.device)
+        if self.epoch == 0:
+            return next_rewards, next_costs
+        next_states_nf = next_states[~terminals]
+        betas_nf = betas[~terminals]
+        q_values = self.compute_next_values(next_states_nf)
+        hulls = self.compute_all_frontiers(q_values, len(next_states_nf))
+        mixtures = self.compute_all_optimal_mixtures(hulls, betas_nf)
+        next_rewards_nf = torch.zeros(len(next_states_nf), device=self.device)
+        next_costs_nf = torch.zeros(len(next_states_nf), device=self.device)
+        for i, mix in enumerate(mixtures):
+            next_rewards_nf[i] = float((1 - mix.probability_sup) * mix.inf.qr
+                                       + mix.probability_sup * mix.sup.qr)
+            next_costs_nf[i] = float((1 - mix.probability_sup) * mix.inf.qc
+                                     + mix.probability_sup * mix.sup.qc)
+        next_rewards[~terminals] = next_rewards_nf
+        next_costs[~terminals] = next_costs_nf
+        return next_rewards, next_costs
+
+    ref_bftq_mod.BudgetedFittedQ.boostrap_next_values = boostrap_next_values
+
+    S = n_states or (64 if _CPU_FALLBACK else 512)
+    D, A, NB = 15 * 5, 3, 10
+    torch.manual_seed(0)
+    torch.set_num_threads(max(os.cpu_count() - 1, 1))
+    net = BudgetedMLP(size_state=D, size_beta_encoder=10, layers=[64, 64],
+                      n_actions=A)
+    bftq = BudgetedFittedQ(net, {
+        "gamma": 0.9, "gamma_c": 0.9, "epochs": 1, "delta_stop": 0.0,
+        "memory_capacity": 100000, "beta": 0,
+        "betas_for_duplication": "[]", "betas_for_discretisation":
+            f"np.linspace(0, 1, {NB})",
+        "exploration": {"temperature": 1.0, "final_temperature": 0.1,
+                        "tau": 5000},
+        "optimizer": {"type": "ADAM", "learning_rate": 1e-3,
+                      "weight_decay": 1e-3},
+        "loss_function": "l2", "loss_function_c": "l2",
+        "regression_epochs": regression_epochs, "clamp_qc": None,
+        "nn_loss_stop_condition": 0.0, "weights_losses": [1.0, 1.0],
+        "split_batches": 1, "processes": 1, "samples_per_batch": S,
+        "device": "cpu",
+        "hull_options": {"decimals": None, "qhull_options": "",
+                         "remove_duplicates": False, "library": "scipy"},
+        "reset_network_each_epoch": False})
+    rng = np.random.default_rng(0)
+    for i in range(S):
+        bftq.push(rng.normal(size=D).astype(np.float32), int(rng.integers(A)),
+                  float(rng.uniform()), rng.normal(size=D).astype(np.float32),
+                  bool(rng.uniform() < 0.05), float(rng.uniform() < 0.1),
+                  float(rng.uniform()))
+    bftq.epoch = 1  # past the bootstrap-free epoch: hulls + mixtures run
+    (states_betas, actions, rewards, costs, next_states, betas,
+     terminals) = bftq._zip_batch()
+    t0 = time.time()
+    target_r, target_c = bftq.compute_targets(rewards, costs, next_states,
+                                              betas, terminals)
+    bftq._fit(states_betas, actions, target_r, target_c)
+    dt = time.time() - t0
+    return S / dt
+
+
+def bench_reference_dqn_ego_attention(steps=None):
+    """Reference torch EgoAttention DQN (CPU) driven by the repo's
+    functional highway surrogate via the handle layer: act + record with one
+    SGD (batch 64) per env step — env-steps/s and SGD samples/s
+    (reference: common/models.py:237-312 + deep_q_network/pytorch.py:40-80)."""
+    import torch
+
+    _bootstrap_reference()
+    from rl_agents.agents.deep_q_network.pytorch import DQNAgent
+
+    from rl_agents_tpu.envs.highway import HighwayEnv
+
+    steps = steps or (20 if _CPU_FALLBACK else 200)
+    torch.manual_seed(0)
+    torch.set_num_threads(max(os.cpu_count() - 1, 1))
+
+    class _GymSpacesEnv:
+        """Expose gymnasium spaces: the reference DQN asserts
+        isinstance(action_space, gymnasium.spaces.Discrete)."""
+
+        def __init__(self, handle):
+            import gymnasium as gym
+            self._h = handle
+            self.action_space = gym.spaces.Discrete(handle.action_space.n)
+            shape = handle.observation_space.shape
+            self.observation_space = gym.spaces.Box(-1.0, 1.0, shape=shape)
+
+        def __getattr__(self, name):
+            return getattr(self._h, name)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        handle = _GymSpacesEnv(_cpu_highway_handle(
+            HighwayEnv, vehicles=15, lanes=4, max_episode_steps=40))
+        agent = DQNAgent(handle, {
+            "model": {"type": "EgoAttentionNetwork",
+                      "embedding_layer": {"type": "MultiLayerPerceptron",
+                                          "layers": [64, 64],
+                                          "reshape": False, "in": 5},
+                      "others_embedding_layer": {
+                          "type": "MultiLayerPerceptron", "layers": [64, 64],
+                          "reshape": False, "in": 5},
+                      "self_attention_layer": None,
+                      "output_layer": {"type": "MultiLayerPerceptron",
+                                       "layers": [64], "reshape": False},
+                      "attention_layer": {"type": "EgoAttention",
+                                          "feature_size": 64, "heads": 4}},
+            "batch_size": 64, "memory_capacity": 10000,
+            "exploration": {"tau": 6000}, "device": "cpu"})
+        agent.seed(0)
+        obs, _ = handle.reset(seed=0)
+
+        def loop(n):
+            nonlocal obs
+            import numpy as np
+            for _ in range(n):
+                action = agent.act(np.asarray(obs))
+                nxt, reward, term, trunc, _ = handle.step(int(action))
+                agent.record(np.asarray(obs), action, reward, np.asarray(nxt),
+                             term or trunc, {})
+                obs = nxt
+                if term or trunc:
+                    obs, _ = handle.reset()
+
+        loop(80)  # warm-up: fill memory past batch_size so SGD runs each step
+        t0 = time.time()
+        loop(steps)
+        dt = time.time() - t0
+    return steps / dt * 64  # SGD samples/s (batch 64, one update per step)
 
 
 def bench_reference_opd_cartpole(trials=3, budget=230):
@@ -701,6 +1289,9 @@ def main():
                       bench_ego_attention_train),
                      ("trailblazer_batched_plans_per_sec",
                       bench_trailblazer_batched),
+                     ("drop_intersection_expansions_per_sec",
+                      bench_drop_intersection),
+                     ("bftq_fit_states_per_sec", bench_bftq_fit),
                      ("ego_attention_serving_fwd_per_sec",
                       bench_ego_attention_serving)]:
         try:
@@ -728,6 +1319,34 @@ def main():
         ("dqn_fused_env_steps_per_sec", bench_reference_dqn_cartpole,
          "reference torch DQN (CPU) on gymnasium CartPole-v1, one SGD per "
          "env step, 64x64 MLP batch 100 — env-steps/s"),
+        ("mcts_highway_steps_per_sec", bench_reference_mcts_highway,
+         "reference python MCTS on the repo's functional highway surrogate "
+         "via the handle layer (CPU-jitted steps, in-process), same "
+         "budget/temperature — env-steps/s"),
+        ("gbop_highway_expansions_per_sec", bench_reference_gbop_highway,
+         "reference python GBOP-D (str-keyed nodes, queue partial-VI) on "
+         "the repo's functional highway surrogate via the handle layer "
+         "(CPU-jitted steps), budget 60/accuracy 1e-2 — expansions/s"),
+        ("gbop_stochastic_sample_steps_per_sec",
+         bench_reference_gbop_stochastic_highway,
+         "reference python stochastic GBOP (compute_reward_ucb signature "
+         "patched as documented in test_family_equivalence.py) on the "
+         "repo's functional highway surrogate, episodes=8/horizon=4, "
+         "max_next_states_count=1 — sample-steps/s"),
+        ("drop_intersection_expansions_per_sec",
+         bench_reference_drop_intersection,
+         "reference DROP: DiscreteRobustPlanner over a 3-model joint env "
+         "(5-tuple-adapted JointEnv, robust.py:9-71) on the repo's "
+         "functional intersection surrogate, budget 30 — expansions/s"),
+        ("bftq_fit_states_per_sec", bench_reference_bftq_fit,
+         "reference BFTQ epoch: torch forward over S x 10 budgets, "
+         "scipy-qhull Pareto frontier per state + optimal mixtures + "
+         "50-epoch regression (bftq.py:150-305), S=512, CPU — states/s"),
+        ("ego_attention_train_sgd_samples_per_sec",
+         bench_reference_dqn_ego_attention,
+         "reference torch EgoAttention DQN (CPU) on the repo's functional "
+         "highway surrogate via the handle layer, one SGD of batch 64 per "
+         "env step — SGD samples/s"),
     ]:
         if not extra.get(name):
             continue
