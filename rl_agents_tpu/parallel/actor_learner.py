@@ -206,15 +206,30 @@ def make_actor_learner(env: FunctionalEnv, model, optimizer,
             def do_update(args):
                 return sample_and_update(args, km)
         else:
+            # UNROLLED, not lax.scan: a scan nested inside the outer
+            # segment scan costs ~0.28 ms of scheduling overhead PER INNER
+            # ITERATION on the v5e (measured r5: the identical
+            # sample+update body runs at 0.262 ms top-level vs ~0.56 ms as
+            # a nested-scan iteration — the sampling itself is free).
+            # updates_per_step is static and small, so straight-line HLO
+            # costs only compile time.
             def do_update(args):
-                out, _ = jax.lax.scan(
-                    lambda a, ku: (sample_and_update(a, ku), None),
-                    args, jax.random.split(km, updates_per_step))
-                return out
+                kus = jax.random.split(km, updates_per_step)
+                for i in range(updates_per_step):
+                    args = sample_and_update(args, kus[i])
+                return args
 
         can_train = size >= jnp.maximum(batch_size, learning_starts)
-        params, opt_state = jax.lax.cond(
-            can_train, do_update, lambda a: a, (state.params, state.opt_state))
+        # masked select instead of lax.cond: a cond nested in the segment
+        # scan re-imposes the ~0.3 ms/update nested-region scheduling
+        # overhead the unrolled update loop just removed (r5 bisection).
+        # The update runs unconditionally and is discarded until the ring
+        # fills — identical visible semantics, a few wasted warm-up updates.
+        new_params, new_opt = do_update((state.params, state.opt_state))
+        params = jax.tree.map(lambda n, o: jnp.where(can_train, n, o),
+                              new_params, state.params)
+        opt_state = jax.tree.map(lambda n, o: jnp.where(can_train, n, o),
+                                 new_opt, state.opt_state)
         time = state.time + 1
         target_params = jax.tree.map(
             lambda p, t: jnp.where(time % target_update == 0, p, t),
