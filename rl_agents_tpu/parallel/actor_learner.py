@@ -172,8 +172,13 @@ def make_actor_learner(env: FunctionalEnv, model, optimizer,
         # ---- learner update(s) ---------------------------------------
         key, km = jax.random.split(key)
 
-        def sample_and_update(args, ku):
-            params, opt_state = args
+        def grad_update(params, opt_state, minibatch):
+            grads = jax.grad(loss_fn)(params, state.target_params, minibatch)
+            grads = jax.tree.map(lambda g: jnp.clip(g, -1.0, 1.0), grads)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        def sample_minibatch(ku):
             if sample_mode == "slices":
                 # K whole time-slices (E independent envs each): K dynamic
                 # slices instead of a batch_size random-row gather
@@ -186,38 +191,37 @@ def make_actor_learner(env: FunctionalEnv, model, optimizer,
                         [jax.lax.dynamic_slice_in_dim(arr, starts[k], E, axis=0)
                          for k in range(K)])
 
-                minibatch = jax.tree.map(take, buffer)
-            else:
-                sample_idx = jax.random.randint(ku, (batch_size,), 0,
-                                                jnp.maximum(size, 1))
-                if n_steps == 1:
-                    minibatch = jax.tree.map(lambda x: x[sample_idx], buffer)
-                else:
-                    minibatch = n_step_collapse(buffer, sample_idx,
-                                                jnp.maximum(size, 1),
-                                                n_steps, jnp.float32(gamma),
-                                                stride=E)
-            grads = jax.grad(loss_fn)(params, state.target_params, minibatch)
-            grads = jax.tree.map(lambda g: jnp.clip(g, -1.0, 1.0), grads)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state
+                return jax.tree.map(take, buffer)
+            sample_idx = jax.random.randint(ku, (batch_size,), 0,
+                                            jnp.maximum(size, 1))
+            if n_steps == 1:
+                return jax.tree.map(lambda x: x[sample_idx], buffer)
+            return n_step_collapse(buffer, sample_idx, jnp.maximum(size, 1),
+                                   n_steps, jnp.float32(gamma), stride=E)
 
         if updates_per_step == 1:
             def do_update(args):
-                return sample_and_update(args, km)
+                return grad_update(*args, sample_minibatch(km))
         else:
-            # UNROLLED, not lax.scan: a scan nested inside the outer
-            # segment scan costs ~0.28 ms of scheduling overhead PER INNER
-            # ITERATION on the v5e (measured r5: the identical
-            # sample+update body runs at 0.262 ms top-level vs ~0.56 ms as
-            # a nested-scan iteration — the sampling itself is free).
+            # PRESAMPLED + UNROLLED: minibatches are sampled up front (they
+            # never depend on the param chain) and the update chain is
+            # straight-line HLO rather than a nested lax.scan — a scan
+            # nested inside the segment scan costs ~0.28 ms of scheduling
+            # overhead per inner iteration on the v5e (r5, docs/onehot.md).
+            # Note the measured residual: XLA still schedules ~0.22 ms of
+            # data movement per in-segment update regardless of whether the
+            # takes are written before or interleaved with the chain (the
+            # dependency graph is identical); see the docs note.
             # updates_per_step is static and small, so straight-line HLO
             # costs only compile time.
             def do_update(args):
                 kus = jax.random.split(km, updates_per_step)
-                for i in range(updates_per_step):
-                    args = sample_and_update(args, kus[i])
-                return args
+                batches = [sample_minibatch(kus[i])
+                           for i in range(updates_per_step)]
+                params, opt_state = args
+                for mb in batches:
+                    params, opt_state = grad_update(params, opt_state, mb)
+                return params, opt_state
 
         can_train = size >= jnp.maximum(batch_size, learning_starts)
         # masked select instead of lax.cond: a cond nested in the segment
