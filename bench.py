@@ -357,7 +357,10 @@ def bench_gbop_stochastic_highway(episodes=8, horizon=4):
             reward_threshold_coeff=2.0, transition_threshold_coeff=2.0)
         return jnp.sum(a).astype(jnp.float32) * 1e-9
 
-    dt, flops, bytes_ = chained_seconds_per_op(step, reps=2)
+    # the r5 W=1 fast path made a plan-batch ~1 ms — chain enough reps that
+    # the segment dwarfs tunnel-RTT jitter (reps=2 swung 4x run-to-run)
+    dt, flops, bytes_ = chained_seconds_per_op(step, reps=2 if _CPU_FALLBACK
+                                               else 48)
     n = Bg * episodes * horizon
     return n / dt, _roofline(flops, bytes_, 1.0 / dt, n)
 
@@ -394,8 +397,17 @@ def _bench_fused(env, model, num_envs, steps, slope_factor=0, **kwargs):
         go(long_steps)  # compile the long bucket outside the timed window
         t_short = _wall_median(go)
         t_long = _wall_median(lambda: go(long_steps))
-        per_step = max((t_long - t_short) / (long_steps - steps), 1e-12)
+        per_step = (t_long - t_short) / (long_steps - steps)
         dt = per_step * steps
+        wall_dt = max(t_short - _tunnel_rtt(), 1e-9)
+        # tunnel-noise guard: when the two walls land within the RTT jitter
+        # the slope degenerates (a 6e13 steps/s artifact was observed);
+        # accept the slope only when it is consistent with the single-wall
+        # estimate, else keep the conservative single-segment number
+        if not (wall_dt / 5 <= dt <= wall_dt * 2):
+            _log(f"slope degenerate (slope {dt*1e3:.1f} ms vs wall "
+                 f"{wall_dt*1e3:.1f} ms); using single-segment wall")
+            dt = wall_dt
     else:
         dt = max(_wall_median(go) - _tunnel_rtt(), 1e-9)
     env_steps = steps * num_envs
@@ -719,7 +731,8 @@ def bench_drop_intersection(expansions=10, models=3):
             env, params_ens, statesM, ks, A, models, expansions, GAMMA, 0.0)
         return jnp.sum(a).astype(jnp.float32) * 1e-9
 
-    dt, flops, bytes_ = chained_seconds_per_op(step, reps=REPS)
+    dt, flops, bytes_ = chained_seconds_per_op(step, reps=REPS if _CPU_FALLBACK
+                                               else 48)
     n_exp = Bd * expansions
     roof = _roofline(flops, bytes_, 1.0 / dt, n_exp)
     if roof is not None:

@@ -473,8 +473,15 @@ def make_sharded_actor_learner(env: FunctionalEnv, model, optimizer, mesh,
             return optax.apply_updates(params, updates), opt_state
 
         can_train = size >= jnp.maximum(B, learning_starts)
-        params, opt_state = jax.lax.cond(
-            can_train, do_update, lambda a: a, (state.params, state.opt_state))
+        # masked select instead of lax.cond (same as the single-device
+        # learner): a cond nested in the segment scan costs ~0.3 ms of
+        # scheduling overhead per step on the v5e; identical visible
+        # semantics, a few discarded warm-up updates
+        new_params, new_opt = do_update((state.params, state.opt_state))
+        params = jax.tree.map(lambda n, o: jnp.where(can_train, n, o),
+                              new_params, state.params)
+        opt_state = jax.tree.map(lambda n, o: jnp.where(can_train, n, o),
+                                 new_opt, state.opt_state)
         time = state.time + 1
         target_params = jax.tree.map(
             lambda p, t: jnp.where(time % target_update == 0, p, t),
