@@ -435,7 +435,10 @@ def bench_dqn_ego_attention(num_envs=64, steps=None):
     """Flagship EgoAttentionNetwork fused learner on the functional highway
     env (BASELINE configs 4-5 recipe: ego_attention.json) — the matmul-heavy
     workload whose MFU answers 'is the learner actually fast'."""
-    steps = steps or (40 if _CPU_FALLBACK else 400)
+    # 1600-step short / 4800-step long slope buckets: at ~700k env-steps/s
+    # the wall delta is ~290 ms — an order of magnitude above tunnel-RTT
+    # jitter (400-step buckets left a +/-40% band, VERDICT r4 item 6)
+    steps = steps or (40 if _CPU_FALLBACK else 1600)
     from rl_agents_tpu.envs.highway import HighwayEnv
     from rl_agents_tpu.models import EgoAttentionNetwork
 
