@@ -163,14 +163,31 @@ class MCTSWithPriorPolicyAgent(MCTSAgent):
             self._prior_fn = prior_fn
             self._tabular_prior = False
         else:
-            # tabular/planner prior (e.g. the VI prior of
-            # HighwayEnv/MCTSWithPriorPolicyAgent/vi_prior.json): its Q-table
-            # indexes MDP states, not observations, so it cannot be evaluated
-            # at arbitrary simulated nodes inside the jitted planner. The
-            # fused program instead applies the prior's ROOT-state action
-            # distribution (refreshed each plan) at every node — a documented
-            # approximation of the reference's per-node host calls.
-            self._prior_fn = lambda params, obs: params
+            from rl_agents_tpu.envs.base import Discrete
+
+            obs_space = getattr(self.env, "observation_space", None)
+            self._index_obs = isinstance(obs_space, Discrete) or (
+                hasattr(obs_space, "n") and not getattr(obs_space, "shape", None))
+            if self._index_obs:
+                # finite-MDP observations ARE state indices, so the jitted
+                # planner evaluates the prior's Boltzmann table at EVERY
+                # simulated node — exact per-node semantics, matching the
+                # reference's per-node host calls (mcts_with_prior.py:47-53)
+                def prior_fn(table, obs):
+                    S = table.shape[0]
+                    oh = jnp.arange(S) == jnp.asarray(obs, jnp.int32)
+                    return jnp.sum(jnp.where(oh[:, None], table, 0.0), axis=0)
+
+                self._prior_fn = prior_fn
+            else:
+                # non-index observations (e.g. the highway TTC-MDP view,
+                # HighwayEnv/MCTSWithPriorPolicyAgent/vi_prior.json): the
+                # prior's Q-table indexes MDP states, not the kinematics
+                # observations the planner simulates, so the fused program
+                # applies the ROOT-state action distribution (refreshed each
+                # plan) at every node — a documented approximation of the
+                # reference's per-node host calls.
+                self._prior_fn = lambda params, obs: params
             self._tabular_prior = True
 
     @property
@@ -179,24 +196,38 @@ class MCTSWithPriorPolicyAgent(MCTSAgent):
             return self._root_prior
         return self.prior_agent.train_state.params
 
+    @staticmethod
+    def _boltzmann_rows(q, temperature):
+        """Row-wise Boltzmann with a non-finite guard: any row containing a
+        non-finite Q (which would softmax to NaN inside the jitted planner)
+        falls back to uniform."""
+        import numpy as np
+
+        q = np.atleast_2d(np.asarray(q, np.float32))
+        z = q / max(temperature, 1e-6)
+        z = z - z.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        probs = e / e.sum(axis=1, keepdims=True)
+        ok = np.all(np.isfinite(q), axis=1, keepdims=True)
+        return np.where(ok, probs, 1.0 / q.shape[1]).astype(np.float32)
+
     def _refresh_root_prior(self, observation):
         import numpy as np
 
         pa = self.prior_agent
         root_action = pa.act(observation)  # re-derives tabular views at the root
         A = self.num_actions
+        if getattr(self, "_index_obs", False) \
+                and hasattr(pa, "state_action_value"):
+            # full [S, A] Boltzmann table — evaluated per node by _prior_fn
+            table = self._boltzmann_rows(pa.state_action_value,
+                                         self._temperature)
+            self._root_prior = jnp.asarray(table[:, :A])
+            return
         if hasattr(pa, "state_action_value") and hasattr(pa, "mdp") \
                 and hasattr(pa.mdp, "state"):
             q = np.asarray(pa.state_action_value[int(pa.mdp.state)], np.float32)
-            if np.all(np.isfinite(q)):
-                z = q / max(self._temperature, 1e-6)
-                z -= z.max()
-                probs = np.exp(z) / np.exp(z).sum()
-            else:
-                # a non-finite (or all -inf) Q-row would softmax to NaN
-                # probabilities inside the jitted planner — fall back to
-                # uniform over the action set instead
-                probs = np.full((q.shape[-1],), 1.0 / q.shape[-1], np.float32)
+            probs = self._boltzmann_rows(q, self._temperature)[0]
         else:
             probs = np.full((A,), 0.1 / max(A - 1, 1), np.float32)
             probs[int(root_action)] = 0.9

@@ -193,3 +193,49 @@ def test_trailblazer_batch_amortizes_dispatches():
     # perfect lockstep, so the bound is essentially one instance's depth)
     assert batched.dispatches * (B // 2) <= solo_dispatches, (
         batched.dispatches, solo_dispatches)
+
+
+def test_mcts_vi_prior_per_node_table():
+    """Index-observation envs get the EXACT per-node tabular prior (the
+    reference's per-node host calls, mcts_with_prior.py:47-53): the prior
+    table is the row-wise Boltzmann of the VI Q-table, `_prior_fn` selects
+    the row of the node's own state, and the approximation the non-index
+    path uses (broadcasting the ROOT row) is demonstrably different here —
+    quantifying what the root-broadcast approximation elides (advisor r4)."""
+    import jax
+    import jax.numpy as jnp
+
+    env = make_mdp({
+        "mode": "deterministic",
+        # state 0: a2 -> 1 (reward later), a1 -> 2 (trap); state 1 loops on
+        # reward; state 2 is a low-reward loop — the VI priors of states
+        # 0/1/2 rank actions differently
+        "transition": [[0, 2, 1], [1, 1, 1], [2, 2, 2]],
+        "reward": [[0.0, 0.1, 0.5], [1.0, 1.0, 1.0], [0.1, 0.1, 0.1]],
+        "terminal": [0, 0, 0],
+        "max_episode_steps": 100,
+    })
+    env.reset(seed=0)
+    agent = MCTSWithPriorPolicyAgent(env, {
+        "budget": 150, "gamma": 0.9, "temperature": 20,
+        "prior_agent": {"__class__": "ValueIterationAgent", "gamma": 0.9,
+                        "exploration": {"temperature": 0.2}},
+    })
+    agent.seed(0)
+    action = agent.act(0)
+    assert agent._index_obs and agent._tabular_prior
+    table = np.asarray(agent._root_prior)
+    S, A = table.shape
+    assert (S, A) == (3, 3)
+    np.testing.assert_allclose(table.sum(axis=1), 1.0, rtol=1e-5)
+    # per-node evaluation selects each state's own row exactly
+    for s in range(S):
+        row = np.asarray(agent._prior_fn(jnp.asarray(table), jnp.int32(s)))
+        np.testing.assert_allclose(row, table[s], rtol=1e-6)
+    # the rows genuinely differ across states: the root-broadcast
+    # approximation would feed state-0's row everywhere — measure the gap
+    tv_01 = 0.5 * np.abs(table[0] - table[1]).sum()
+    tv_02 = 0.5 * np.abs(table[0] - table[2]).sum()
+    assert max(tv_01, tv_02) > 0.2, (tv_01, tv_02)
+    # and the planner still recommends the VI-optimal root action
+    assert action == int(np.argmax(agent.prior_agent.state_action_value[0]))
