@@ -547,7 +547,9 @@ def _train_mfu_decomposition(model, opt, params, x, acts, update, flops_update,
     collection + replay-sampling share the RL recipe requires."""
     import optax
 
-    reps = 8 if _CPU_FALLBACK else 64
+    # 256-deep chains: at ~0.15-0.3 ms/op, 64 reps left the sub-timings
+    # inside tunnel-RTT jitter (update_ms swung 0.08-0.27 across runs)
+    reps = 8 if _CPU_FALLBACK else 256
     opt_state0 = opt.init(params)
 
     # full update, params-chained
