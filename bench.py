@@ -315,6 +315,8 @@ def bench_gbop_highway(expansions=12):
     keys = jax.random.split(jax.random.PRNGKey(2), Bg)
     states0, obs0 = jax.vmap(env.reset, in_axes=(None, 0))(params, keys)
 
+    reps = 2 if _CPU_FALLBACK else 8
+
     @jax.jit
     def many():
         def step(c, _):
@@ -324,15 +326,15 @@ def bench_gbop_highway(expansions=12):
                                       num_actions=5, expansions=expansions,
                                       gamma=GAMMA, accuracy=1e-2)
             return jnp.sum(a).astype(jnp.float32) * 1e-9, None
-        c, _ = jax.lax.scan(step, jnp.float32(0), None, length=2)
+        c, _ = jax.lax.scan(step, jnp.float32(0), None, length=reps)
         return c
 
     flops, bytes_ = _cost(many.lower().compile())
     tr = _wall_median(lambda: float(many()))
-    dt = max((tr - _tunnel_rtt()) / 2, 1e-9)
+    dt = max((tr - _tunnel_rtt()) / reps, 1e-9)
     n_exp = Bg * expansions
-    return n_exp / dt, _roofline(flops / 2 if flops else None,
-                                 bytes_ / 2 if bytes_ else None, 1.0 / dt, n_exp)
+    return n_exp / dt, _roofline(flops / reps if flops else None,
+                                 bytes_ / reps if bytes_ else None, 1.0 / dt, n_exp)
 
 
 def bench_gbop_stochastic_highway(episodes=8, horizon=4):

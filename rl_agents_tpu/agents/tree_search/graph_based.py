@@ -165,16 +165,43 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
     # rows are inert — never key-matched)
     N = capacity or -((1 + expansions * A) // -8) * 8
     gamma = jnp.float32(gamma)
+    vmax = 1.0 / (1.0 - gamma)
 
+    # GROWING arenas: round r can hold at most 1 + (r+1)*A nodes, and the
+    # dense [N_r, A, N_r] contractions (VI sweeps, descend Q-tables) cost
+    # ~N_r^2 — the rounds are python-unrolled with the arena padded up on a
+    # lane-aligned schedule instead of running every round at the final
+    # size. Values/edges for rows beyond ``used`` are inert (children -1,
+    # expanded False), so the computed bounds are IDENTICAL per round;
+    # only the per-round gumbel draw shapes (and hence tie-breaks) differ
+    # from a fixed-size arena.
+    sizes = [min(-((1 + (r + 1) * A) // -8) * 8, N) for r in range(expansions)]
+
+    def _grow(graph: Graph, new_n: int) -> Graph:
+        def pad(x, fill):
+            extra = jnp.full((new_n - x.shape[0],) + x.shape[1:], fill, x.dtype)
+            return jnp.concatenate([x, extra], axis=0)
+
+        return Graph(
+            keys=pad(graph.keys, 0),
+            expanded=pad(graph.expanded, False),
+            value_lower=pad(graph.value_lower, 0.0),
+            value_upper=pad(graph.value_upper, vmax),
+            rewards=pad(graph.rewards, 0.0),
+            children=pad(graph.children, -1),
+            states=jax.tree.map(lambda a: pad(a, 0), graph.states),
+            used=graph.used)
+
+    N0 = sizes[0] if sizes else N
     states = jax.tree.map(
-        lambda x: jnp.zeros((N,) + jnp.shape(x), jnp.asarray(x).dtype).at[0].set(x), state0)
+        lambda x: jnp.zeros((N0,) + jnp.shape(x), jnp.asarray(x).dtype).at[0].set(x), state0)
     graph = Graph(
-        keys=jnp.zeros((N,), jnp.uint32).at[0].set(obs_key(obs0)),
-        expanded=jnp.zeros((N,), bool),
-        value_lower=jnp.zeros((N,)),
-        value_upper=jnp.full((N,), 1.0 / (1.0 - gamma)),
-        rewards=jnp.zeros((N, A)),
-        children=jnp.full((N, A), -1, jnp.int32),
+        keys=jnp.zeros((N0,), jnp.uint32).at[0].set(obs_key(obs0)),
+        expanded=jnp.zeros((N0,), bool),
+        value_lower=jnp.zeros((N0,)),
+        value_upper=jnp.full((N0,), vmax),
+        rewards=jnp.zeros((N0, A)),
+        children=jnp.full((N0, A), -1, jnp.int32),
         states=states,
         used=jnp.ones((), jnp.int32),
     )
@@ -194,19 +221,20 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
         walk follows from the root with unexpanded nodes absorbing. A
         fixed-length scan of one-hot selects replaces the per-step
         while_loop (measured ~0.46 ms per lockstep vmapped iteration)."""
+        Nr = graph.keys.shape[0]
         M, valid = _child_matrix(graph.children)
         q_up_all = _q_table(M, valid, graph.rewards, graph.value_upper, gamma,
                             1.0 / (1.0 - gamma))
         ties = q_up_all == jnp.max(q_up_all, axis=1, keepdims=True)
-        g = jax.random.gumbel(k, (N, A))
-        a_star = jnp.argmax(jnp.where(ties, g, -jnp.inf), axis=1)    # [N]
+        g = jax.random.gumbel(k, (Nr, A))
+        a_star = jnp.argmax(jnp.where(ties, g, -jnp.inf), axis=1)    # [Nr]
         succ = jnp.sum(
             jnp.where(jnp.arange(A)[None, :] == a_star[:, None],
-                      graph.children, 0), axis=1)                    # [N]
-        f = jnp.where(graph.expanded, succ, jnp.arange(N, dtype=jnp.int32))
+                      graph.children, 0), axis=1)                    # [Nr]
+        f = jnp.where(graph.expanded, succ, jnp.arange(Nr, dtype=jnp.int32))
 
         def walk(node, _):
-            return jnp.sum(jnp.where(jnp.arange(N) == node, f, 0)), None
+            return jnp.sum(jnp.where(jnp.arange(Nr) == node, f, 0)), None
 
         node, _ = jax.lax.scan(walk, jnp.zeros((), jnp.int32), None,
                                length=walk_len)
@@ -216,7 +244,8 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
         """Simulate all actions; aggregate next states via the dense key
         array (graph_based.py:39-53). The heavy arenas (states [N, ...],
         rewards/children [N, A]) are each written ONCE per round."""
-        oh_node = onehot(node, N)
+        Nr = graph.keys.shape[0]
+        oh_node = onehot(node, Nr)
         state = select_row_tree(graph.states, oh_node)
         outs = jax.vmap(env.step, in_axes=(None, None, 0, None))(
             params, state, jnp.arange(A), jnp.zeros((2,), jnp.uint32))
@@ -227,11 +256,11 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
 
         # one placement matrix P[n, a]: action a's next state lands in its
         # fresh slot, only when it created a node
-        P = news_row[None, :] & (jnp.arange(N)[:, None] == slots[None, :])  # [N, A]
+        P = news_row[None, :] & (jnp.arange(Nr)[:, None] == slots[None, :])  # [Nr, A]
         row_new = jnp.any(P, axis=1)
 
         def place(arena, new):
-            # arena [N, ...], new [A, ...] -> one masked rewrite. The f32
+            # arena [Nr, ...], new [A, ...] -> one masked rewrite. The f32
             # round-trip is exact for every state dtype here (bool 0/1,
             # small ints, f32), and exactly one P[n, :] entry is hot per row.
             # HIGHEST precision keeps the 0/1 selection exact on TPU (the
@@ -241,7 +270,7 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
             placed = jnp.tensordot(P.astype(jnp.float32),
                                    new.astype(jnp.float32), axes=([1], [0]),
                                    precision=jax.lax.Precision.HIGHEST)
-            return jnp.where(row_new.reshape((N,) + extra),
+            return jnp.where(row_new.reshape((Nr,) + extra),
                              placed.astype(arena.dtype), arena)
 
         new_states = jax.tree.map(lambda arena, new: place(arena, new),
@@ -255,15 +284,15 @@ def gbop_plan(env: FunctionalEnv, params, state0, obs0, key, num_actions: int,
             children=jnp.where(oh_na, children_row[None, :], graph.children),
             expanded=graph.expanded | oh_node)
 
-    def round_fn(carry, _):
-        graph, k = carry
-        k, kd = jax.random.split(k)
+    for r in range(expansions):
+        if sizes[r] > graph.keys.shape[0]:
+            graph = _grow(graph, sizes[r])
+        key, kd = jax.random.split(key)
         node = descend(graph, kd)
         graph = expand(graph, node)
         graph = _value_iteration_sweeps(graph, gamma, accuracy)
-        return (graph, k), None
-
-    (graph, key), _ = jax.lax.scan(round_fn, (graph, key), None, length=expansions)
+    if graph.keys.shape[0] < N:
+        graph = _grow(graph, N)
 
     # conservative plan: descend by lower-bound argmax (graph_based.py:126-135)
     M, valid = _child_matrix(graph.children)
